@@ -1,0 +1,236 @@
+package graft.krep
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Query-shaped match parameters — the engine's `search_params_t`
+  * (reference: krep.h:65-94). One canonical logical semantics; the matcher
+  * dispatches to a physical kernel (single-literal scan, Aho-Corasick
+  * multi-pattern, Java regex) exactly like the reference's kernel selector
+  * (krep.c:1771-1870), but the *semantics* are pinned by flags, not by which
+  * kernel runs:
+  *
+  *  - `overlapping = true`  — every occurrence counts (reference BMH/AC
+  *    behavior, test/test_krep.c:453-457: 'aba' in "ababa..." = 3)
+  *  - `overlapping = false` — next search resumes at match end (reference
+  *    KMP / `-o` behavior, test/test_krep.c:458: same text = 2)
+  *  - `wholeWord` — match must not be flanked by [A-Za-z0-9_]
+  *    (krep.h:290-319)
+  *  - `caseSensitive = false` — byte-wise ASCII fold only (krep.c:124-134);
+  *    for regex this maps to Java CASE_INSENSITIVE *without* UNICODE_CASE,
+  *    which is likewise ASCII-only.
+  *  - `maxCount` — stop after N matches (lines for countLines), the `-m`
+  *    limiter enforced inside every reference kernel (krep.c:1366-1367).
+  */
+final case class KrepParams(
+    patterns: Seq[String],
+    caseSensitive: Boolean = true,
+    wholeWord: Boolean = false,
+    overlapping: Boolean = true,
+    regex: Boolean = false,
+    maxCount: Long = Long.MaxValue) {
+  require(patterns.nonEmpty, "at least one pattern required")
+  require(patterns.size <= 1024, "reference caps patterns at 1024 (krep.c:3571)")
+}
+
+/** Compiled matcher: one instance per expression, built lazily on each
+  * executor (the analog of the reference compiling its trie/regex/bad-char
+  * tables once per file and sharing them read-only across threads,
+  * krep.c:2524-2623).
+  *
+  * All literal matching is byte-wise over the UTF8String's bytes — identical
+  * to the reference's memcmp semantics, NUL-safe, and free of any
+  * UTF-8-decode cost. Regex matching uses Java regex over the decoded string
+  * (documented semantic pin, SURVEY.md §7.4).
+  */
+final class KrepMatcher(val params: KrepParams) extends Serializable {
+
+  import params._
+
+  // ---- compiled artifacts -------------------------------------------------
+  private val singleLiteral: Array[Byte] =
+    if (!regex && patterns.size == 1) {
+      val b = patterns.head.getBytes("UTF-8")
+      if (caseSensitive) b else AsciiFold.foldBytes(b)
+    } else null
+
+  private val ac: AhoCorasick =
+    if (!regex && patterns.size > 1)
+      AhoCorasick.build(patterns.map(_.getBytes("UTF-8")), caseSensitive)
+    else null
+
+  @transient private lazy val javaRegex: Pattern =
+    if (regex) {
+      // multi-pattern OR, same construction as the reference (krep.c:2543-2572)
+      val body = patterns.map(p => s"(?:$p)").mkString("|")
+      val wrapped =
+        if (wholeWord) s"(?<![A-Za-z0-9_])(?:$body)(?![A-Za-z0-9_])" else body
+      val flags = if (caseSensitive) 0 else Pattern.CASE_INSENSITIVE
+      Pattern.compile(wrapped, flags)
+    } else null
+
+  // ---- match enumeration --------------------------------------------------
+
+  @inline private def wordOk(bytes: Array[Byte], start: Int, end: Int): Boolean =
+    !wholeWord ||
+      ((start == 0 || !AsciiFold.isWordByte(bytes(start - 1))) &&
+        (end >= bytes.length || !AsciiFold.isWordByte(bytes(end))))
+
+  /** Visit matches as (start, end, patternIdx); stop when onMatch is false. */
+  def foreachMatch(s: UTF8String)(onMatch: (Int, Int, Int) => Boolean): Unit = {
+    if (regex) {
+      val str = s.toString
+      val m = javaRegex.matcher(str)
+      var from = 0
+      var go = true
+      while (go && from <= str.length && m.find(from)) {
+        // byte offsets == char offsets only for ASCII; regex path reports
+        // CHAR offsets (documented; literal path reports byte offsets)
+        go = onMatch(m.start, m.end, 0)
+        // zero-length match must advance by one (reference krep.c:1543-1549)
+        from = if (m.end == m.start) m.end + 1
+        else if (overlapping) m.start + 1
+        else m.end
+      }
+    } else {
+      val bytes = s.getBytes
+      if (singleLiteral != null) scanSingle(bytes, onMatch)
+      else {
+        if (overlapping) { ac.scan(bytes, 0, bytes.length) { (st, en, p) =>
+          !wordOk(bytes, st, en) || onMatch(st, en, p)
+        }; () }
+        else {
+          // non-overlapping multi-pattern: leftmost-first, resume at match end
+          var lastEnd = 0
+          ac.scan(bytes, 0, bytes.length) { (st, en, p) =>
+            if (st >= lastEnd && wordOk(bytes, st, en)) {
+              lastEnd = en
+              onMatch(st, en, p)
+            } else true
+          }
+          ()
+        }
+      }
+    }
+  }
+
+  private def scanSingle(bytes: Array[Byte],
+      onMatch: (Int, Int, Int) => Boolean): Unit = {
+    val pat = singleLiteral
+    val plen = pat.length
+    if (plen == 0 || plen > bytes.length) return
+    val first = pat(0)
+    var i = 0
+    val limit = bytes.length - plen
+    var go = true
+    while (go && i <= limit) {
+      // fold text byte on the fly for case-insensitive mode
+      val b = if (caseSensitive) bytes(i) else AsciiFold.fold(bytes(i))
+      if (b == first && regionMatches(bytes, i, pat)) {
+        if (wordOk(bytes, i, i + plen)) go = onMatch(i, i + plen, 0)
+        i += (if (overlapping) 1 else plen)
+      } else i += 1
+    }
+  }
+
+  @inline private def regionMatches(bytes: Array[Byte], at: Int,
+      pat: Array[Byte]): Boolean = {
+    var j = 1
+    if (caseSensitive) {
+      while (j < pat.length) {
+        if (bytes(at + j) != pat(j)) return false
+        j += 1
+      }
+    } else {
+      while (j < pat.length) {
+        if (AsciiFold.fold(bytes(at + j)) != pat(j)) return false
+        j += 1
+      }
+    }
+    true
+  }
+
+  // ---- terminal operations (called from expressions / codegen) ------------
+
+  def count(s: UTF8String): Long = {
+    if (maxCount <= 0) return 0L
+    var n = 0L
+    foreachMatch(s) { (_, _, _) => n += 1; n < maxCount }
+    n
+  }
+
+  def contains(s: UTF8String): Boolean = {
+    var hit = false
+    foreachMatch(s) { (_, _, _) => hit = true; false }
+    hit
+  }
+
+  /** Lines (separated by '\n') containing >= 1 match — the `-c` semantics
+    * (reference P5: dedup per line, skip to next line, krep.c:1331-1351).
+    */
+  def countLines(s: UTF8String): Long = {
+    if (maxCount <= 0) return 0L
+    val bytes = s.getBytes
+    var lines = 0L
+    var lineStart = -1 // line start of last counted line
+    foreachMatch(s) { (st, _, _) =>
+      // find start of the line containing st
+      var ls = st
+      while (ls > 0 && bytes(ls - 1) != '\n') ls -= 1
+      if (ls != lineStart || lineStart == -1) {
+        lines += 1
+        lineStart = ls
+      }
+      lines < maxCount
+    }
+    lines
+  }
+
+  /** ARRAY<STRUCT<start INT, end INT, pattern INT>>, sorted by (start, end)
+    * (reference sorts merged positions before output, krep.c:419-434).
+    */
+  def positions(s: UTF8String): ArrayData = {
+    if (maxCount <= 0) return new GenericArrayData(Array.empty[Any])
+    val buf = ArrayBuffer.empty[InternalRow]
+    foreachMatch(s) { (st, en, p) =>
+      buf += InternalRow(st, en, p)
+      buf.length < maxCount
+    }
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr, (a: InternalRow, b: InternalRow) => {
+      val c = Integer.compare(a.getInt(0), b.getInt(0))
+      if (c != 0) c else Integer.compare(a.getInt(1), b.getInt(1))
+    })
+    new GenericArrayData(arr.asInstanceOf[Array[Any]])
+  }
+
+  /** Matched substrings in text order (the `-o` projection, krep.c:517-793;
+    * newlines inside a match become spaces, krep.c:700-714).
+    */
+  def extract(s: UTF8String): ArrayData = {
+    if (maxCount <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = ArrayBuffer.empty[UTF8String]
+    if (regex) {
+      val str = s.toString
+      foreachMatch(s) { (st, en, _) =>
+        out += UTF8String.fromString(str.substring(st, en).replace('\n', ' '))
+        out.length < maxCount
+      }
+    } else {
+      val bytes = s.getBytes
+      foreachMatch(s) { (st, en, _) =>
+        val slice = java.util.Arrays.copyOfRange(bytes, st, en)
+        var i = 0
+        while (i < slice.length) { if (slice(i) == '\n') slice(i) = ' '; i += 1 }
+        out += UTF8String.fromBytes(slice)
+        out.length < maxCount
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+}

@@ -1,0 +1,223 @@
+package graft.krep
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions exposing krep's match semantics as columnar
+  * operators. Each expression owns a [[KrepMatcher]] compiled once per task
+  * (the analog of the reference compiling trie/regex/shift tables once per
+  * file and sharing them across threads, krep.c:2524-2623, 2848-2849).
+  *
+  * All implement real `doGenCode` (a reference-object method call), so they
+  * stay inside whole-stage codegen spans instead of falling back to
+  * interpreted eval.
+  */
+abstract class KrepMatchExpression extends UnaryExpression {
+  def params: KrepParams
+  override def nullIntolerant: Boolean = true
+  @transient protected lazy val matcher: KrepMatcher = new KrepMatcher(params)
+
+  protected def genCall(ctx: CodegenContext, ev: ExprCode,
+      method: String): ExprCode = {
+    val m = ctx.addReferenceObj("krepMatcher", matcher,
+      classOf[KrepMatcher].getName)
+    defineCodeGen(ctx, ev, c => s"$m.$method($c)")
+  }
+}
+
+/** Total match count (reference A1; `-m` cap folded in via params.maxCount). */
+case class KrepCount(child: Expression, params: KrepParams)
+    extends KrepMatchExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = matcher.count(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    genCall(ctx, ev, "count")
+  override protected def withNewChildInternal(c: Expression): KrepCount = copy(child = c)
+  override def prettyName: String = "krep_count"
+}
+
+/** Short-circuit existence check (reference A4, exit-status semantics). */
+case class KrepContains(child: Expression, params: KrepParams)
+    extends KrepMatchExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any = matcher.contains(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    genCall(ctx, ev, "contains")
+  override protected def withNewChildInternal(c: Expression): KrepContains = copy(child = c)
+  override def prettyName: String = "krep_contains"
+}
+
+/** Count of '\n'-separated lines containing >= 1 match (reference P5/A2,
+  * the `-c` mode: multiple matches on one line count once).
+  */
+case class KrepCountLines(child: Expression, params: KrepParams)
+    extends KrepMatchExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = matcher.countLines(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    genCall(ctx, ev, "countLines")
+  override protected def withNewChildInternal(c: Expression): KrepCountLines = copy(child = c)
+  override def prettyName: String = "krep_count_lines"
+}
+
+/** All match positions, sorted by (start, end): ARRAY<STRUCT<start,end,pattern>>
+  * (reference track_positions + global position sort, krep.c:419-434).
+  * Offsets are byte offsets for literal patterns, char offsets for regex.
+  */
+case class KrepPositions(child: Expression, params: KrepParams)
+    extends KrepMatchExpression {
+  override def dataType: DataType = KrepPositions.schema
+  override def nullSafeEval(v: Any): Any = matcher.positions(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    genCall(ctx, ev, "positions")
+  override protected def withNewChildInternal(c: Expression): KrepPositions = copy(child = c)
+  override def prettyName: String = "krep_positions"
+}
+object KrepPositions {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("pattern", IntegerType, nullable = false))), containsNull = false)
+}
+
+/** Matched substrings in text order (the `-o` only-matching projection,
+  * krep.c:517-793; newlines inside a match become spaces).
+  */
+case class KrepExtract(child: Expression, params: KrepParams)
+    extends KrepMatchExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = matcher.extract(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    genCall(ctx, ev, "extract")
+  override protected def withNewChildInternal(c: Expression): KrepExtract = copy(child = c)
+  override def prettyName: String = "krep_extract"
+}
+
+/** Byte-wise ASCII-only lowercase (reference lower_table, krep.c:124-134).
+  * NOT equivalent to Spark's UTF-8-aware `lower()`.
+  */
+case class AsciiLower(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    UTF8String.fromBytes(AsciiFold.foldBytes(s.getBytes))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromBytes(" +
+        s"graft.krep.AsciiFold.foldBytes($c.getBytes()))")
+  override protected def withNewChildInternal(c: Expression): AsciiLower = copy(child = c)
+  override def prettyName: String = "ascii_lower"
+}
+
+/** Tokenizer pinned to the reference's word-character class: maximal runs of
+  * [A-Za-z0-9_] (krep.h:298-303), ASCII-lower-folded. This is the tokenizer
+  * of the whole index pipeline — term boundaries == whole-word boundaries.
+  */
+case class KrepTokenize(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    KrepTokenize.tokenizeArrayData(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.krep.KrepTokenize.tokenizeArrayData($c)")
+  override protected def withNewChildInternal(c: Expression): KrepTokenize = copy(child = c)
+  override def prettyName: String = "krep_tokenize"
+}
+object KrepTokenize {
+  /** Tokens as folded byte-slices, in text order. */
+  def tokenize(s: UTF8String): Array[UTF8String] = {
+    val bytes = s.getBytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && !AsciiFold.isWordByte(bytes(i))) i += 1
+      val start = i
+      while (i < n && AsciiFold.isWordByte(bytes(i))) i += 1
+      if (i > start) {
+        val tok = new Array[Byte](i - start)
+        var j = start
+        while (j < i) { tok(j - start) = AsciiFold.fold(bytes(j)); j += 1 }
+        out += UTF8String.fromBytes(tok)
+      }
+    }
+    out.toArray
+  }
+  def tokenizeArrayData(s: UTF8String): GenericArrayData =
+    new GenericArrayData(tokenize(s).asInstanceOf[Array[Any]])
+}
+
+/** Per-row term frequencies: ARRAY<STRUCT<term STRING, tf INT>> sorted by
+  * term bytes. Computing tf inside the row (instead of explode + groupBy)
+  * removes an entire shuffle from the index build — at 10^12 docs that
+  * shuffle would move one row per token instead of one per distinct term.
+  */
+case class KrepTermFreqs(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = KrepTermFreqs.schema
+  override def nullSafeEval(v: Any): Any =
+    KrepTermFreqs.termFreqs(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.krep.KrepTermFreqs.termFreqs($c)")
+  override protected def withNewChildInternal(c: Expression): KrepTermFreqs = copy(child = c)
+  override def prettyName: String = "krep_term_freqs"
+}
+object KrepTermFreqs {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", IntegerType, nullable = false))), containsNull = false)
+
+  def termFreqs(s: UTF8String): GenericArrayData = {
+    val toks = KrepTokenize.tokenize(s)
+    val m = new java.util.TreeMap[UTF8String, Integer]()
+    var i = 0
+    while (i < toks.length) {
+      m.merge(toks(i), Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+      i += 1
+    }
+    val rows = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      rows(k) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue.intValue())
+      k += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** Column-API surface (the engine's user-facing DSL). */
+object functions {
+  private def col(e: Expression): Column = GraftSqlBridge.column(e)
+  private def ex(c: Column): Expression = GraftSqlBridge.expression(c)
+
+  def krep_count(c: Column, p: KrepParams): Column = col(KrepCount(ex(c), p))
+  def krep_contains(c: Column, p: KrepParams): Column = col(KrepContains(ex(c), p))
+  def krep_count_lines(c: Column, p: KrepParams): Column = col(KrepCountLines(ex(c), p))
+  def krep_positions(c: Column, p: KrepParams): Column = col(KrepPositions(ex(c), p))
+  def krep_extract(c: Column, p: KrepParams): Column = col(KrepExtract(ex(c), p))
+  def ascii_lower(c: Column): Column = col(AsciiLower(ex(c)))
+  def krep_tokenize(c: Column): Column = col(KrepTokenize(ex(c)))
+  def krep_term_freqs(c: Column): Column = col(KrepTermFreqs(ex(c)))
+
+  // convenience single-literal forms
+  def krep_contains(c: Column, pattern: String): Column =
+    krep_contains(c, KrepParams(Seq(pattern)))
+  def krep_count(c: Column, pattern: String): Column =
+    krep_count(c, KrepParams(Seq(pattern)))
+  /** Regex matching pinned to the reference's non-overlapping resume-at-end
+    * semantics (krep.c:1530-1549).
+    */
+  def krep_regex_count(c: Column, pattern: String): Column =
+    krep_count(c, KrepParams(Seq(pattern), regex = true, overlapping = false))
+  def krep_regex_extract(c: Column, pattern: String): Column =
+    krep_extract(c, KrepParams(Seq(pattern), regex = true, overlapping = false))
+}

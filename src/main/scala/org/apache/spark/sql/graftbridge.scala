@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column <-> Expression bridge for Spark 4.x, where the converters in
+  * [[org.apache.spark.sql.classic.ExpressionUtils]] are `private[sql]`.
+  * Library extension code (custom Catalyst expressions exposed as Columns)
+  * needs exactly these two hops; this object re-exports them from inside the
+  * `sql` package, the standard pattern for Spark extension libraries.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

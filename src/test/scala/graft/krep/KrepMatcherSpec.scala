@@ -1,0 +1,176 @@
+package graft.krep
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's own pattern-match corpus, ported assertion-for-assertion
+  * (citations into /root/reference). Pure-Scala (no SparkSession) — pins the
+  * matcher semantics the Catalyst expressions expose.
+  */
+class KrepMatcherSpec extends AnyFunSuite {
+
+  private def count(text: String, pats: Seq[String],
+      cs: Boolean = true, ww: Boolean = false, ov: Boolean = true,
+      re: Boolean = false, max: Long = Long.MaxValue): Long =
+    new KrepMatcher(KrepParams(pats, caseSensitive = cs, wholeWord = ww,
+      overlapping = ov, regex = re, maxCount = max))
+      .count(UTF8String.fromString(text))
+
+  // --- basic literal (test/test_krep.c:317-377) ---
+  val fox = "The quick brown fox jumps over the lazy dog"
+  test("basic literal counts") {
+    assert(count(fox, Seq("quick")) == 1)
+    assert(count(fox, Seq("fox")) == 1)
+    assert(count(fox, Seq("cat")) == 0)
+    assert(count(fox, Seq("The")) == 1) // case-sensitive: only leading 'The'
+    assert(count(fox, Seq("the")) == 1)
+  }
+
+  // --- edge cases (test/test_krep.c:379-481) ---
+  test("17 a's, single-char pattern") {
+    assert(count("a" * 17, Seq("a")) == 17)
+  }
+  test("empty pattern and empty haystack give 0") {
+    assert(count("a" * 17, Seq("")) == 0)
+    assert(count("", Seq("test")) == 0)
+  }
+  test("match at start and end") {
+    assert(count("abcdef", Seq("abc")) == 1)
+    assert(count("abcdef", Seq("def")) == 1)
+  }
+  test("overlapping 'aba' in 'abababa': 3 overlapping, 2 non-overlapping") {
+    assert(count("abababa", Seq("aba"), ov = true) == 3)
+    assert(count("abababa", Seq("aba"), ov = false) == 2)
+  }
+  test("'aa' in 'aaaaa': 4 overlapping, 2 non-overlapping") {
+    assert(count("aaaaa", Seq("aa"), ov = true) == 4)
+    assert(count("aaaaa", Seq("aa"), ov = false) == 2)
+  }
+  test("'aa' in 'aaaa' -o overlapping positions = 3 (test_krep.c:1220-1230)") {
+    assert(count("aaaa", Seq("aa"), ov = true) == 3)
+  }
+
+  // --- case sensitivity (test/test_krep.c:483-527) ---
+  test("case-insensitive fold is ASCII-only") {
+    val t = "The Quick Brown Fox"
+    assert(count(t, Seq("quick"), cs = true) == 0)
+    assert(count(t, Seq("quick"), cs = false) == 1)
+    assert(count(t, Seq("QUICK"), cs = false) == 1)
+  }
+
+  // --- whole word (test/test_krep.c:529-562, 1232-1243) ---
+  test("whole-word 'cat': 6 plain vs 3 whole-word") {
+    val t = "cat catalog category cat. catfish cat,"
+    assert(count(t, Seq("cat")) == 6)
+    assert(count(t, Seq("cat"), ww = true) == 3)
+  }
+  test("whole-word at string start/end") {
+    assert(count("word anotherword word", Seq("word"), ww = true) == 2)
+  }
+
+  // --- max count (test/test_krep.c:887-953, 1411-1452) ---
+  test("max-count ladder on 10 matches") {
+    val t = Seq.fill(10)("match").mkString(" ")
+    for (m <- Seq(0L, 1L, 3L, 5L, 10L, Long.MaxValue))
+      assert(count(t, Seq("match"), max = m) == math.min(m, 10L))
+  }
+
+  // --- multi-pattern Aho-Corasick (test/test_multiple_patterns.c) ---
+  test("classic ushers: {he,she,his,hers} = 3") {
+    assert(count("ushers", Seq("he", "she", "his", "hers")) == 3)
+  }
+  test("case-insensitive multi both directions") {
+    assert(count("UsHeRs", Seq("he", "she", "his", "hers"), cs = false) == 3)
+    assert(count("ushers", Seq("HE", "SHE", "HIS", "HERS"), cs = false) == 3)
+    assert(count("UsHeRs", Seq("he", "she", "his", "hers"), cs = true) == 0)
+  }
+  test("nested overlapping multi: {a,b,c,ab,bc,abc} over 'abc' = 6") {
+    assert(count("abc", Seq("a", "b", "c", "ab", "bc", "abc")) == 6)
+  }
+  test("multi {foo,bar} over 'foo bar baz foo qux bar' = 4") {
+    assert(count("foo bar baz foo qux bar", Seq("foo", "bar")) == 4)
+  }
+  test("multi max-count (test_krep.c:1009-1066)") {
+    // 'apple' x4 + 'orange' x2 interleaved
+    val t = "apple banana apple orange apple grape orange apple"
+    assert(count(t, Seq("apple", "orange")) == 6)
+    assert(count(t, Seq("apple", "orange"), max = 3) == 3)
+    assert(count(t, Seq("apple", "orange"), max = 5) == 5)
+    assert(count(t, Seq("apple", "orange"), max = 6) == 6)
+  }
+  test("multi equals sum of singles (test_multiple_patterns.c:345-474)") {
+    val t = ("the quick brown fox jumps over the lazy dog " * 50) +
+      "pattern1 midway pattern2 " + ("lorem ipsum dolor sit amet " * 50)
+    val pats = Seq("the", "fox", "pattern1", "pattern2", "lorem")
+    val sum = pats.map(p => count(t, Seq(p))).sum
+    assert(count(t, pats) == sum)
+  }
+
+  // --- regex (test/test_regex.c) ---
+  test("regex basics") {
+    val t = "Hello 123, hello 456, HELLO 789!"
+    assert(count(t, Seq("hello"), re = true, ov = false, cs = false) == 3)
+    assert(count(t, Seq("[0-9]+"), re = true, ov = false) == 3)
+  }
+  test("regex anchors and alternation") {
+    val t = "Line 1: apple\nLine 2: banana\nLine 3: orange\nLine 4: apple"
+    // reference compiles with REG_NEWLINE (line-oriented anchors); Java
+    // equivalent is MULTILINE — constructs chosen where both agree
+    assert(count(t, Seq("(?m)^Line [0-9]+: (apple|orange)$"), re = true, ov = false) == 3)
+  }
+  test("regex empty-text edge cases") {
+    assert(count("", Seq("^$"), re = true, ov = false) == 1)
+    assert(count("", Seq("."), re = true, ov = false) == 0)
+  }
+  test("regex backtracking stress a*a*...b") {
+    val t = "a" * 31 + "b"
+    assert(count(t, Seq("a*a*a*a*a*b"), re = true, ov = false) == 1)
+  }
+  test("regex non-overlapping 'aba' in 'ababa' = 2... (reference: 2 in abababa)") {
+    assert(count("abababa", Seq("aba"), re = true, ov = false) == 2)
+  }
+  test("IP address patterns (test_krep.c:1111-1142)") {
+    val t = "IP addresses: 192.168.1.1 and 10.0.0.1 and 172.16.254.1 ports 8080 443"
+    assert(count(t, Seq("192.168.1.1")) == 1)
+    assert(count(t, Seq("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"), re = true, ov = false) == 3)
+    assert(count(t, Seq("8080|443"), re = true, ov = false) == 2)
+  }
+
+  // --- binary-safe (test/test_krep.c:1201-1207, 1375-1405) ---
+  test("NUL-laden text is searchable byte-wise") {
+    val bytes = new Array[Byte](1024)
+    bytes(100) = 'a'; bytes(101) = 'b'; bytes(102) = 'c'
+    bytes(500) = 'a'; bytes(501) = 'b'; bytes(502) = 'c'
+    val s = UTF8String.fromBytes(bytes)
+    val m = new KrepMatcher(KrepParams(Seq("abc")))
+    assert(m.count(s) == 2)
+    val none = UTF8String.fromBytes(Array[Byte](0, 1, 2, 3, 4, 5, 6, 7))
+    assert(m.count(none) == 0)
+  }
+
+  // --- count-lines -c semantics (test/test_krep.c:564-603) ---
+  test("count lines, not matches") {
+    val m = new KrepMatcher(KrepParams(Seq("aaa")))
+    def lines(t: String) = m.countLines(UTF8String.fromString(t))
+    assert(lines("aaa bbb aaa\nbbb aaa\nccc") == 2)
+    assert(lines("aaa aaa aaa") == 1)
+    assert(lines("bbb\nccc") == 0)
+  }
+
+  // --- positions / extract ---
+  test("positions are sorted (start, end) with pattern indices") {
+    val m = new KrepMatcher(KrepParams(Seq("he", "she", "his", "hers")))
+    val p = m.positions(UTF8String.fromString("ushers"))
+    // she @ [1,4), he @ [2,4), hers @ [2,6)
+    assert(p.numElements() == 3)
+    val rows = (0 until 3).map(i => p.getStruct(i, 3))
+    assert(rows.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))) ==
+      Seq((1, 4, 1), (2, 4, 0), (2, 6, 3)))
+  }
+  test("extract -o: newline inside match becomes space") {
+    val m = new KrepMatcher(KrepParams(Seq("b\nc")))
+    val e = m.extract(UTF8String.fromString("a b\nc d"))
+    assert(e.numElements() == 1)
+    assert(e.getUTF8String(0).toString == "b c")
+  }
+}
