@@ -1,0 +1,88 @@
+package graft.index
+
+/** Varint / delta codec for posting blocks (north rule: "delta+varint-compress
+  * posting blocks"). docIds are strictly increasing within a block → stored as
+  * LEB128 varints of gaps (first id stored as-is); tf/dl are small positive
+  * ints → plain LEB128.
+  *
+  * Pure byte-array functions: run inside `mapPartitions` on the build side and
+  * inside the WAND iterators on the query side — never materialized as a
+  * Catalyst expression (the data is grouped, not per-row).
+  */
+object BlockCodec {
+
+  private def writeVarLong(buf: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    require(v >= 0, s"varint requires non-negative, got $v")
+    while ((v & ~0x7fL) != 0L) {
+      buf.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    buf.write(v.toInt)
+  }
+
+  /** Encode strictly-increasing longs as first + varint deltas. */
+  def encodeDeltaLongs(xs: Array[Long]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(xs.length * 2)
+    var prev = 0L
+    var i = 0
+    while (i < xs.length) {
+      val d = if (i == 0) xs(0) else xs(i) - prev - 1
+      require(i == 0 || d >= 0, "docIds must be strictly increasing")
+      writeVarLong(buf, d)
+      prev = xs(i)
+      i += 1
+    }
+    buf.toByteArray
+  }
+
+  def decodeDeltaLongs(bytes: Array[Byte], n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    var pos = 0
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var shift = 0
+      var b = 0
+      do {
+        b = bytes(pos) & 0xff
+        v |= (b & 0x7fL) << shift
+        shift += 7
+        pos += 1
+      } while ((b & 0x80) != 0)
+      prev = if (i == 0) v else prev + v + 1
+      out(i) = prev
+      i += 1
+    }
+    out
+  }
+
+  /** Plain varint encode of non-negative ints (tf, dl). */
+  def encodeInts(xs: Array[Int]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(xs.length)
+    var i = 0
+    while (i < xs.length) { writeVarLong(buf, xs(i).toLong); i += 1 }
+    buf.toByteArray
+  }
+
+  def decodeInts(bytes: Array[Byte], n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    var pos = 0
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var shift = 0
+      var b = 0
+      do {
+        b = bytes(pos) & 0xff
+        v |= (b & 0x7fL) << shift
+        shift += 7
+        pos += 1
+      } while ((b & 0x80) != 0)
+      out(i) = v.toInt
+      i += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,136 @@
+package graft.index
+
+import scala.collection.immutable.ListMap
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+
+/** One committed build step: table location + per-partition lineage (the
+  * parquet files a step produced, with per-file row counts read back from the
+  * footers — file ↔ task partition) + free-form metrics.
+  */
+final case class StepInfo(
+    name: String,
+    table: String,
+    rowCount: Long,
+    files: Seq[(String, Long)], // (fileName, rows) — per-partition lineage
+    metrics: Map[String, String])
+
+/** Minimal Iceberg-style table layer (SURVEY.md §7.0): immutable Parquet data
+  * files + a JSON snapshot log with a last-wins pointer swapped by atomic
+  * rename. No Iceberg jar ships in this environment; this layer preserves the
+  * properties the north rule tests — resumable builds, per-partition lineage
+  * and metrics committed atomically alongside snapshots.
+  *
+  * Layout under `root/`:
+  * {{{
+  *   data/<table>/part-*.parquet     immutable data files (Spark-written)
+  *   snapshots/snapshot-<id>.json    full step map, parent-linked
+  *   LATEST                          current snapshot id (atomic rename)
+  * }}}
+  *
+  * Uses the Hadoop FileSystem API throughout, so the same code runs on local
+  * fs here and HDFS/S3A on a real cluster.
+  */
+final class IceTable(val root: String, conf: Configuration) {
+
+  private val mapper = new ObjectMapper()
+  private def fs: FileSystem = new Path(root).getFileSystem(conf)
+
+  def tablePath(name: String): String = s"$root/data/$name"
+
+  // --- snapshot log ---------------------------------------------------------
+
+  def currentSnapshotId: Option[Long] = {
+    val p = new Path(root, "LATEST")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Steps recorded in the current snapshot, in commit order. */
+  def completedSteps: ListMap[String, StepInfo] = currentSnapshotId match {
+    case None => ListMap.empty
+    case Some(id) =>
+      val p = new Path(root, s"snapshots/snapshot-$id.json")
+      val in = fs.open(p)
+      val node = try mapper.readTree(in) finally in.close()
+      var out = ListMap.empty[String, StepInfo]
+      node.get("steps").forEach { s =>
+        val files = Vector.newBuilder[(String, Long)]
+        s.get("files").forEach(f =>
+          files += ((f.get("name").asText(), f.get("rows").asLong())))
+        val metrics = ListMap.newBuilder[String, String]
+        val it = s.get("metrics").fields()
+        while (it.hasNext) { val e = it.next(); metrics += (e.getKey -> e.getValue.asText()) }
+        val info = StepInfo(s.get("name").asText(), s.get("table").asText(),
+          s.get("rowCount").asLong(), files.result(), metrics.result())
+        out = out + (info.name -> info)
+      }
+      out
+  }
+
+  /** Commit a step: new snapshot = parent steps ± this step, written to the
+    * log, then the LATEST pointer swapped via atomic rename. Readers see
+    * either the old or the new snapshot, never a partial one.
+    */
+  def commitStep(step: StepInfo): Long = {
+    val parent = currentSnapshotId
+    val newId = parent.getOrElse(-1L) + 1L
+    val steps = completedSteps + (step.name -> step)
+
+    val rootNode: ObjectNode = mapper.createObjectNode()
+    rootNode.put("snapshotId", newId)
+    parent.foreach(p => rootNode.put("parent", p))
+    val arr = rootNode.putArray("steps")
+    steps.values.foreach { s =>
+      val n = arr.addObject()
+      n.put("name", s.name)
+      n.put("table", s.table)
+      n.put("rowCount", s.rowCount)
+      val fa = n.putArray("files")
+      s.files.foreach { case (f, r) =>
+        val fn = fa.addObject(); fn.put("name", f); fn.put("rows", r)
+      }
+      val m = n.putObject("metrics")
+      s.metrics.foreach { case (k, v) => m.put(k, v) }
+    }
+
+    fs.mkdirs(new Path(root, "snapshots"))
+    val snapPath = new Path(root, s"snapshots/snapshot-$newId.json")
+    val out = fs.create(snapPath, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(rootNode))
+    finally out.close()
+
+    val tmp = new Path(root, s"LATEST.tmp-$newId")
+    val t = fs.create(tmp, true)
+    try t.write(newId.toString.getBytes("UTF-8")) finally t.close()
+    val latest = new Path(root, "LATEST")
+    if (fs.exists(latest)) fs.delete(latest, false)
+    require(fs.rename(tmp, latest), s"atomic commit of snapshot $newId failed")
+    newId
+  }
+
+  /** Per-file row counts from parquet footers — the per-partition lineage
+    * recorded at commit time (derived from the committed artifacts, so it is
+    * correct even across resumed builds).
+    */
+  def parquetLineage(table: String): Seq[(String, Long)] = {
+    val dir = new Path(tablePath(table))
+    fs.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map { s =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(s.getPath, conf))
+        try (s.getPath.getName, r.getRecordCount)
+        finally r.close()
+      }
+  }
+}

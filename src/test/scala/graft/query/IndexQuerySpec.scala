@@ -1,0 +1,91 @@
+package graft.query
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.corpus.SynthWebText
+import graft.index.{IndexBuilder, IndexConfig}
+
+/** Index-vs-scan differential (SURVEY.md §5 item 3): block-max WAND top-k
+  * over the compressed segmented index must be rank-identical — docIds AND
+  * bit-identical scores — to the brute-force DataFrame BM25 on the same
+  * corpus, for a reference query set spanning hot/cold/multi-term/planted/
+  * absent shapes.
+  */
+class IndexQuerySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val nDocs = 2000L
+  private lazy val pages = SynthWebText.pages(spark, nDocs, numPartitions = 4).cache()
+
+  private lazy val indexRoot: String = {
+    val dir = Files.createTempDirectory("graft-index-").toString
+    val builder = new IndexBuilder(spark, dir,
+      IndexConfig(blockSize = 64, docsPerSegment = 512, partitions = 4))
+    val ran = builder.build(pages)
+    assert(ran == Seq("docs", "stats", "tfrows", "dict", "postings"))
+    dir
+  }
+
+  private def t(r: Int) = SynthWebText.term(r)
+
+  /** The reference query set: 10 single terms (hot→cold), 10 conjunctions,
+    * 5 planted marker phrases.
+    */
+  private lazy val referenceQueries: Seq[String] =
+    Seq(t(0), t(1), t(5), t(20), t(100), t(500), t(2000), t(10000), t(25000), t(49999)) ++
+    Seq(s"${t(0)} ${t(1)}", s"${t(0)} ${t(100)}", s"${t(3)} ${t(7)} ${t(11)}",
+      s"${t(2)} ${t(2000)}", s"${t(50)} ${t(51)} ${t(52)} ${t(53)}",
+      s"${t(10)} ${t(10)}", s"${t(1)} ${t(49999)}", s"${t(4)} ${t(9)} ${t(400)}",
+      s"${t(6)} ${t(8)} ${t(12)} ${t(30)}", s"${t(15)} ${t(1500)}") ++
+    SynthWebText.Markers
+
+  test("index build is complete and resumable (no-op rerun)") {
+    val builder = new IndexBuilder(spark, indexRoot)
+    val rerun = builder.build(pages)
+    assert(rerun.isEmpty, s"rerun should skip all steps, ran: $rerun")
+  }
+
+  test("WAND top-10 rank-identical (docIds + bit-identical scores) vs brute force") {
+    val engine = new QueryEngine(spark, indexRoot)
+    referenceQueries.foreach { q =>
+      val got = engine.search(q, 10)
+      val want = NaiveSearch.topK(spark, pages, q, 10, partitions = 4)
+      assert(got.length == want.length, s"k mismatch for '$q'")
+      got.zip(want).zipWithIndex.foreach { case ((g, w), r) =>
+        assert(g.docId == w.docId,
+          s"query '$q' rank $r: docId ${g.docId} != ${w.docId} " +
+            s"(scores ${g.score} vs ${w.score})")
+        assert(g.score == w.score,
+          s"query '$q' rank $r doc ${g.docId}: score ${g.score} != ${w.score}")
+      }
+    }
+  }
+
+  test("absent term returns empty; unknown+known mix equals known alone") {
+    val engine = new QueryEngine(spark, indexRoot)
+    assert(engine.search("zzzqqqxxxnotaword", 10).isEmpty)
+    val mixed = engine.search(s"zzzqqqxxxnotaword ${t(5)}", 10)
+    val alone = engine.search(t(5), 10)
+    assert(mixed.map(_.docId).toSeq == alone.map(_.docId).toSeq)
+  }
+
+  test("planted marker query hits exactly the planted docs") {
+    val engine = new QueryEngine(spark, indexRoot)
+    // marker 0 is planted on docSeq ≡ 0 (mod 97*5) → docSeqs 0, 485, ...
+    val hits = engine.search(SynthWebText.Markers(0), 100)
+    val expectedSeqs = (0L until nDocs).filter(i =>
+      i % 97 == 0 && (i / 97) % SynthWebText.Markers.length == 0)
+    assert(hits.length == expectedSeqs.size)
+  }
+
+  test("searchDf resolves urls and preserves rank order") {
+    val engine = new QueryEngine(spark, indexRoot)
+    val df = engine.searchDf(t(100), 5).collect()
+    assert(df.length == 5)
+    assert(df.map(_.getInt(0)).toSeq == (1 to 5))
+    assert(df.forall(_.getString(2).startsWith("https://")))
+  }
+}
