@@ -1,0 +1,374 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.krep.{KrepParams, functions => K}
+import graft.ops.{AnnOps, TextOps}
+import graft.query.Bm25Df
+
+/** The driver-facing operator surface: every implemented operator exposed as
+  * a query over the `/root/testdata` tables, with an ANSI-SQL mirror for the
+  * DuckDB oracle. Column names, types (BIGINT counts, INTEGER ranks) and row
+  * order (always a unique ORDER BY) match the SQL exactly; float-valued
+  * results are mapped to exact integer domains (cents / basis points) so the
+  * hash compare is engine-independent.
+  */
+object EntryQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val enStop = Seq("the", "a", "and", "of", "to")
+  private val deStop = Seq("der", "die", "das", "und", "ist")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core -------------------------------------------------
+    "q1_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").cast("long").as("sum_qty"),
+          sum(round($"l_extendedprice" * 100).cast("long")).as("sum_price_cents"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+    "join_revenue_segment" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round($"o_totalprice" * 100).cast("long")).as("revenue_cents"))
+        .orderBy($"c_mktsegment")
+    }),
+    "topk_per_group" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"rn")
+        .orderBy($"o_custkey", $"rn")
+    }),
+    "window_hourly" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round($"value" * 100).cast("long")).as("value_cents"))
+        .orderBy($"hour")
+    }),
+
+    // ---- krep match operators -------------------------------------------
+    "krep_contains" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part").filter(K.krep_contains($"p_name", "an"))
+        .select($"p_partkey", $"p_name").orderBy($"p_partkey")
+    }),
+    "krep_contains_ci" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .filter(K.krep_contains($"p_brand",
+          KrepParams(Seq("brand#1"), caseSensitive = false)))
+        .select($"p_partkey", $"p_brand").orderBy($"p_partkey")
+    }),
+    "krep_count_char" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select($"p_partkey", K.krep_count($"p_name", "a").as("a_cnt"))
+        .orderBy($"p_partkey")
+    }),
+    "krep_whole_word" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter(K.krep_contains($"text",
+          KrepParams(Seq("the"), wholeWord = true)))
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+    "krep_count_lines" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          K.krep_count_lines(regexp_replace($"text", "table", "\n"),
+            KrepParams(Seq("value"))).as("n_lines"))
+        .orderBy($"doc_id")
+    }),
+    "krep_multi_ac" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          K.krep_count($"text",
+            KrepParams(Seq("spark", "merge", "window"))).as("n_hits"))
+        .orderBy($"doc_id")
+    }),
+    "krep_regex_extract" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_id",
+          explode(K.krep_regex_extract($"props", "[0-9]+")).as("tok"))
+        .orderBy($"event_id", $"tok")
+    }),
+    "ascii_lower_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part").select(K.ascii_lower($"p_type").as("tp"))
+        .distinct().orderBy($"tp")
+    }),
+
+    // ---- tokenizer / text analysis ---------------------------------------
+    "tokenize_count" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          size(K.krep_tokenize($"text")).cast("long").as("n_tok"))
+        .orderBy($"doc_id")
+    }),
+    "top_terms" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(K.krep_term_freqs($"text")).as("e"))
+        .select($"e.term".as("term"), $"e.tf".as("tf"))
+        .groupBy($"term").agg(sum($"tf").cast("long").as("total"))
+        .orderBy($"total".desc, $"term").limit(20)
+    }),
+    "lang_stopwords" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id",
+        TextOps.stopwordCount($"text", enStop).as("en_sw"),
+        TextOps.stopwordCount($"text", deStop).as("de_sw"))
+        .orderBy($"doc_id")
+    }),
+    "quality_score" -> ((s, dir) => {
+      import s.implicits._
+      val feats = TextOps.qualityFeatures($"text", enStop)
+      t(s, dir, "documents")
+        .select($"doc_id" +: feats.map { case (n, c) => c.as(n) }: _*)
+        .orderBy($"doc_id")
+    }),
+    "token_count_bpe" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id",
+        K.krep_count($"text", KrepParams(Seq("[A-Za-z0-9]+|[^A-Za-z0-9 ]"),
+          regex = true, overlapping = false)).as("n_bpe"))
+        .orderBy($"doc_id")
+    }),
+    "fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- deduplication ----------------------------------------------------
+    "dedup_exact_text" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").agg(
+        countDistinct($"text").as("distinct_texts"),
+        count(lit(1)).as("total"))
+    }),
+    "dedup_exact_key" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").groupBy($"lang", $"source")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .orderBy($"lang", $"source")
+    }),
+    "ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .select($"doc_id", TextOps.shingles($"text", 3).as("sh"))
+      val a = d.select($"doc_id".as("id_a"), $"sh".as("sa"))
+      val b = d.select($"doc_id".as("id_b"), $"sh".as("sb"))
+      a.join(b, $"id_b" === $"id_a" + 1)
+        .select($"id_a", $"id_b",
+          TextOps.jaccardBps($"sa", $"sb").as("j_bps"))
+        .orderBy($"id_a")
+    }),
+    "minhash_pairs" -> ((s, dir) => { // no SQL oracle (xxhash64-based)
+      import s.implicits._
+      val bands = 8
+      val rows = 4
+      val d = t(s, dir, "documents").select($"doc_id",
+        TextOps.minhashSignature($"text", k = bands * rows).as("sig"))
+      val banded = d.select($"doc_id", $"sig",
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bnd => xxhash64(slice($"sig", bnd * rows + 1, lit(rows)), bnd))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+      val l = banded.select($"band", $"bhash", $"doc_id".as("id_a"), $"sig".as("sig_a"))
+      val r = banded.select($"band", $"bhash", $"doc_id".as("id_b"), $"sig".as("sig_b"))
+      l.join(r, Seq("band", "bhash")).filter($"id_a" < $"id_b")
+        .dropDuplicates("id_a", "id_b")
+        .select($"id_a", $"id_b",
+          (aggregate(zip_with($"sig_a", $"sig_b",
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v) * 10000L / size($"sig_a"))
+            .cast("long").as("est_bps"))
+        .orderBy($"id_a", $"id_b")
+    }),
+    "simhash" -> ((s, dir) => { // no SQL oracle (xxhash64-based)
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TextOps.simhash64($"text").as("sh"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- similarity search ------------------------------------------------
+    "ann_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 0).head()
+        .getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val top = AnnOps.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
+        .collect()
+      s.createDataFrame(top.toSeq.zipWithIndex.map { case (r, i) =>
+        (i + 1, r.getLong(0))
+      }).toDF("rnk", "vec_id")
+    }),
+    "ann_lsh_neardup" -> ((s, dir) => { // no SQL oracle (hash-based buckets)
+      import s.implicits._
+      AnnOps.lshCandidatePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nPlanes = 10, nTables = 2)
+        .select($"id_a", $"id_b", round($"sim" * 10000).cast("long").as("sim_bps"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ---- BM25 ---------------------------------------------------------------
+    "bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      Bm25Df.topK(t(s, dir, "documents"), "doc_id", "text",
+        "spark window the", 15)
+        .select($"rank".as("rnk"), $"id".as("doc_id"))
+    }),
+
+    // ---- multimodal plumbing ----------------------------------------------
+    "multimodal_meta" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", encode($"text", "UTF-8").as("blob"), $"text")
+        .select($"doc_id",
+          octet_length($"blob").cast("long").as("n_bytes"),
+          (ascii(substring($"text", 1, 1)) >= 128).cast("long").as("bit0"))
+        .orderBy($"doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = {
+    val toks = "regexp_extract_all(text,'[A-Za-z0-9_]+')"
+    val ltoks = "regexp_extract_all(lower(text),'[a-z0-9_]+')"
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+    Map(
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          |CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+          |count(*) AS cnt FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+      "join_revenue_segment" ->
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "topk_per_group" ->
+        """SELECT o_custkey, o_orderkey, rn FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |         CAST(row_number() OVER (PARTITION BY o_custkey
+          |              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+          |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+      "window_hourly" ->
+        """SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt,
+          |CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      "krep_contains" ->
+        "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%an%' ORDER BY p_partkey",
+      "krep_contains_ci" ->
+        "SELECT p_partkey, p_brand FROM part WHERE lower(p_brand) LIKE '%brand#1%' ORDER BY p_partkey",
+      "krep_count_char" ->
+        """SELECT p_partkey, CAST(length(p_name)-length(replace(p_name,'a','')) AS BIGINT) AS a_cnt
+          |FROM part ORDER BY p_partkey""".stripMargin,
+      "krep_whole_word" ->
+        """SELECT doc_id FROM documents
+          |WHERE regexp_matches(text, '(^|[^A-Za-z0-9_])the($|[^A-Za-z0-9_])')
+          |ORDER BY doc_id""".stripMargin,
+      "krep_count_lines" ->
+        """SELECT doc_id, CAST(len(list_filter(string_split(replace(text,'table',chr(10)), chr(10)),
+          |x -> contains(x,'value'))) AS BIGINT) AS n_lines FROM documents ORDER BY doc_id""".stripMargin,
+      "krep_multi_ac" ->
+        """SELECT doc_id, CAST((length(text)-length(replace(text,'spark','')))//5
+          |+ (length(text)-length(replace(text,'merge','')))//5
+          |+ (length(text)-length(replace(text,'window','')))//6 AS BIGINT) AS n_hits
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "krep_regex_extract" ->
+        """SELECT event_id, unnest(regexp_extract_all(props,'[0-9]+')) AS tok
+          |FROM events ORDER BY event_id, tok""".stripMargin,
+      "ascii_lower_distinct" ->
+        "SELECT DISTINCT lower(p_type) AS tp FROM part ORDER BY tp",
+      "tokenize_count" ->
+        s"SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok FROM documents ORDER BY doc_id",
+      "top_terms" ->
+        s"""SELECT term, CAST(count(*) AS BIGINT) AS total FROM
+           |(SELECT unnest($ltoks) AS term FROM documents)
+           |GROUP BY term ORDER BY total DESC, term LIMIT 20""".stripMargin,
+      "lang_stopwords" ->
+        s"""SELECT doc_id,
+           |CAST(len(list_filter($ltoks, x -> x IN ${inList(enStop)})) AS BIGINT) AS en_sw,
+           |CAST(len(list_filter($ltoks, x -> x IN ${inList(deStop)})) AS BIGINT) AS de_sw
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "quality_score" ->
+        s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           |CAST(len($toks) AS BIGINT) AS n_tok,
+           |CAST((10000 * len(list_filter($ltoks, x -> x IN ${inList(enStop)}))) // len($toks) AS BIGINT) AS stop_bps,
+           |CAST((100 * list_sum(list_transform($toks, s -> length(s)))) // len($toks) AS BIGINT) AS tok_len_x100
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "token_count_bpe" ->
+        """SELECT doc_id, CAST(len(regexp_extract_all(text,'[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "fingerprint" ->
+        s"""SELECT doc_id, CASE WHEN len($ltoks) = 0 THEN 0 ELSE
+           |list_reduce(list_transform($ltoks, t -> CAST(length(t)*7 + ascii(t) AS BIGINT)),
+           |(x, y) -> (x*131 + y) % 1000000007) END AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "dedup_exact_text" ->
+        "SELECT CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts, count(*) AS total FROM documents",
+      "dedup_exact_key" ->
+        """SELECT lang, source, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_cnt
+          |FROM documents GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+      "ngram_jaccard" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  list_distinct(CASE WHEN len($ltoks) >= 3 THEN
+           |    list_transform(range(1, len($ltoks)-1),
+           |      i -> $ltoks[i] || ' ' || $ltoks[i+1] || ' ' || $ltoks[i+2])
+           |  ELSE [] END) AS sh FROM documents),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+           |      FROM t a JOIN t b ON b.doc_id = a.doc_id + 1)
+           |SELECT id_a, id_b, CASE WHEN len(sa)+len(sb) = 0 THEN 0 ELSE
+           |  CAST((10000 * len(list_filter(sa, x -> list_contains(sb, x))))
+           |  // (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))) AS BIGINT)
+           |END AS j_bps FROM p ORDER BY id_a""".stripMargin,
+      "ann_cosine_topk" ->
+        """SELECT CAST(row_number() OVER (ORDER BY
+          |  list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id=0)) DESC,
+          |  vec_id) AS INTEGER) AS rnk, vec_id
+          |FROM embeddings ORDER BY rnk LIMIT 10""".stripMargin,
+      "bm25_topk" ->
+        """WITH toksrc AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9_]+')) AS term FROM documents
+          |), dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toksrc GROUP BY doc_id),
+          |stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+          |tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toksrc
+          |       WHERE term IN ('spark','the','window') GROUP BY doc_id, term),
+          |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+          |addends AS (
+          |  SELECT tf.doc_id,
+          |    ln(1.0 + ((SELECT n FROM stats) - df.df + 0.5)/(df.df + 0.5)) *
+          |    ((tf.tf * 1.9) / (tf.tf + 0.9*(0.6 + 0.4*dl.dl/(SELECT avgdl FROM stats)))) AS a
+          |  FROM tf JOIN df USING(term) JOIN dl USING(doc_id)),
+          |scores AS (SELECT doc_id, sum(a) AS score FROM addends GROUP BY doc_id)
+          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk, doc_id
+          |FROM scores ORDER BY rnk LIMIT 15""".stripMargin,
+      "multimodal_meta" ->
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |CAST(CASE WHEN ascii(text) >= 128 THEN 1 ELSE 0 END AS BIGINT) AS bit0
+          |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.krep.{functions => K}
+
+/** Training-data-pipeline text operators, all pure Column builders over the
+  * codegen'd krep tokenizer + Spark higher-order functions — no UDFs, no
+  * driver-side loops, so every one of these runs inside whole-stage codegen
+  * and scales linearly with the corpus.
+  */
+object TextOps {
+
+  /** Canonical tokens (krep word-char class, ASCII-folded). */
+  def tokens(text: Column): Column = K.krep_tokenize(text)
+
+  /** Count of tokens belonging to a stopword set (language-ID feature). */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords))).cast("long")
+
+  /** Integer-domain quality features: character length, token count,
+    * stopword basis points, mean token length ×100 — exact integer
+    * arithmetic so oracle engines agree bit-for-bit.
+    */
+  def qualityFeatures(text: Column, stopwords: Seq[String])
+      : Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val stop = stopwordCount(text, stopwords)
+    val tokChars = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x)
+    Seq(
+      "n_chars" -> length(text).cast("long"),
+      "n_tok" -> nTok,
+      "stop_bps" -> intDiv(stop * 10000L, nTok),
+      "tok_len_x100" -> intDiv(tokChars * 100L, nTok))
+  }
+
+  /** Floor division of non-negative longs (== DuckDB `//`). The double
+    * quotient is correctly rounded and, for operands ≤2^53 with divisors in
+    * practical range, never rounds up across an integer boundary.
+    */
+  def intDiv(a: Column, b: Column): Column =
+    when(b =!= 0L, floor(a.cast("double") / b.cast("double")).cast("long"))
+      .otherwise(lit(0L))
+
+  /** Rolling-hash document fingerprint over tokens:
+    * fold((h, t) => (h*131 + len(t)*7 + ascii(t[0])) mod 1e9+7). Matches
+    * DuckDB's `list_reduce` seed semantics (first element as seed) because
+    * folding from 0 makes step one a no-op mod p.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => (length(t) * 7 + ascii(t)).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 131L + x) % 1000000007L)
+
+  /** Token n-gram shingles joined by single spaces. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array())
+  }
+
+  /** Exact n-gram Jaccard similarity in basis points (integer-exact). */
+  def jaccardBps(shA: Column, shB: Column): Column = {
+    val a = array_distinct(shA)
+    val b = array_distinct(shB)
+    val inter = size(array_intersect(a, b)).cast("long")
+    val union = size(a).cast("long") + size(b).cast("long") - inter
+    when(union > 0L, inter * 10000L / union).otherwise(lit(0L)).cast("long")
+  }
+
+  /** MinHash signature (k hashes) over n-gram shingles: one xxhash64 per
+    * shingle, then k cheap universal-hash mixes — O(k·|shingles|) arithmetic,
+    * one pass, no shuffle.
+    */
+  def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column = {
+    val sh = shingles(text, shingleN)
+    // the i-th hash family member is xxhash64 seeded by i (no wrapping
+    // multiply — ANSI mode rejects overflow)
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      aggregate(sh, lit(Long.MaxValue), (m, s) => least(m, xxhash64(s, i))))
+  }
+
+  /** SimHash64 over term frequencies: bit j set iff Σ tf·(±1 from hash bit j)
+    * is positive.
+    */
+  def simhash64(text: Column): Column = {
+    val tfs = K.krep_term_freqs(text)
+    val bits: Seq[Column] = (0 until 64).map { j =>
+      when(
+        aggregate(tfs, lit(0L), (acc, e) =>
+          acc + e.getField("tf").cast("long") *
+            when(shiftright(xxhash64(e.getField("term")), j)
+              .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0L,
+        1L).otherwise(0L)
+    }
+    bits.foldLeft(lit(0L))((acc, b) => shiftleft(acc, 1).bitwiseOR(b))
+  }
+}
