@@ -1,6 +1,107 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+
+import graft.corpus.SynthWebText
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.query.{QueryEngine, ScoredDoc}
+
+/** Driver-run benchmark: times every SparkEntry query on SPARK_GRAFT_SF_DIR,
+  * plus the engine's headline metrics — index-build docs/sec and BM25 query
+  * latency/throughput on the deterministic synthetic corpus. Prints ONE JSON
+  * line (driver contract).
+  */
 object Bench {
+
+  def referenceQueries: Seq[String] = {
+    def t(r: Int) = SynthWebText.term(r)
+    Seq(t(0), t(1), t(5), t(20), t(100), t(500), t(2000), t(10000), t(25000), t(49999)) ++
+      Seq(s"${t(0)} ${t(1)}", s"${t(0)} ${t(100)}", s"${t(3)} ${t(7)} ${t(11)}",
+        s"${t(2)} ${t(2000)}", s"${t(50)} ${t(51)} ${t(52)} ${t(53)}",
+        s"${t(10)} ${t(10)}", s"${t(1)} ${t(49999)}", s"${t(4)} ${t(9)} ${t(400)}",
+        s"${t(6)} ${t(8)} ${t(12)} ${t(30)}", s"${t(15)} ${t(1500)}") ++
+      SynthWebText.Markers
+  }
+
+  /** Materialize the deterministic corpus as a parquet table (the "existing
+    * Iceberg input" of a real pipeline) — NOT counted as indexing time.
+    */
+  def materializeCorpus(spark: SparkSession, nDocs: Long,
+      partitions: Int): String = {
+    val path = s"${Files.createTempDirectory("graft-pages-")}/pages.parquet"
+    SynthWebText.pages(spark, nDocs, numPartitions = partitions)
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  final case class EngineBenchResult(metrics: Map[String, Double],
+      resultsChecksum: String)
+
+  /** Build + query-batch at the session's parallelism; returns metrics plus
+    * a checksum over every query's (docId, scoreBits) results — equal
+    * checksums at different parallelism levels prove parallelism invariance
+    * (the reference's thread-count invariance test, test_krep.c:1071-1106,
+    * lifted to the engine).
+    */
+  def engineBench(spark: SparkSession, nDocs: Long, partitions: Int,
+      repeats: Int = 2, pagesPath: String = null): EngineBenchResult = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-bench-").toString
+    val path = Option(pagesPath)
+      .getOrElse(materializeCorpus(spark, nDocs, partitions))
+    val pages = spark.read.parquet(path).as[graft.corpus.Page]
+    val t0 = System.nanoTime()
+    new IndexBuilder(spark, root, IndexConfig(partitions = partitions)).build(pages)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    val engine = new QueryEngine(spark, root)
+    // warmup (plans, classloading, dict cache)
+    engine.search(referenceQueries.head, 10)
+
+    // throughput under concurrency — a search tier serves parallel queries;
+    // per-query latencies still give p50/p95
+    val poolSize = math.max(2, math.min(partitions, 16))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
+    val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]
+    val firstRun = new java.util.concurrent.ConcurrentHashMap[String, Array[ScoredDoc]]
+    val q0 = System.nanoTime()
+    val futures = for (rep <- 1 to repeats; q <- referenceQueries) yield {
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val s = System.nanoTime()
+          val res = engine.search(q, 10)
+          lats.add((System.nanoTime() - s) / 1e3) // micros
+          if (rep == 1) firstRun.put(q, res)
+        }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    val qTotalSec = (System.nanoTime() - q0) / 1e9
+
+    // deterministic checksum over the first run's results, in query order
+    var checksum = 1469598103934665603L // FNV offset
+    referenceQueries.foreach { q =>
+      firstRun.get(q).foreach { sd =>
+        checksum = (checksum ^ sd.docId) * 1099511628211L
+        checksum = (checksum ^ java.lang.Double.doubleToLongBits(sd.score)) *
+          1099511628211L
+      }
+    }
+    val sorted = lats.toArray(Array.empty[java.lang.Double])
+      .map(_.doubleValue).sorted
+    def pct(p: Double) = sorted((p * (sorted.length - 1)).toInt) / 1000.0 // ms
+    EngineBenchResult(Map(
+      "index_build_sec" -> buildSec,
+      "docs_per_sec" -> nDocs / buildSec,
+      "queries_per_sec" -> sorted.length / qTotalSec,
+      "query_p50_ms" -> pct(0.50),
+      "query_p95_ms" -> pct(0.95)),
+      java.lang.Long.toHexString(checksum))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,15 +111,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val engine = engineBench(spark,
+      sys.env.getOrElse("GRAFT_BENCH_DOCS", "50000").toLong, cpus.toInt).metrics
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val eng = engine.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + engine("index_build_sec")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"engine":$eng,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,20 +70,31 @@ final class IndexBuilder(spark: SparkSession, root: String,
 
     def step(name: String, metrics: => Map[String, String])(body: => Unit): Unit = {
       if (!done.contains(name)) {
+        val t0 = System.nanoTime()
         body
+        val secs = (System.nanoTime() - t0) / 1e9
         val lineage = ice.parquetLineage(name)
         ice.commitStep(StepInfo(name, ice.tablePath(name),
-          lineage.map(_._2).sum, lineage, metrics))
+          lineage.map(_._2).sum, lineage,
+          metrics + ("elapsedSec" -> f"$secs%.3f")))
         ran += name
         if (failAfter.contains(name))
           throw new RuntimeException(s"injected failure after step $name")
       }
     }
 
-    step("docs", Map("orderedBy" -> "url")) {
-      val withDl = pages.select($"url",
-        size(K.krep_tokenize($"text")).as("dl"))
-      write(Ranker.denseIdsByKey(withDl, "url", "docId", cfg.partitions)
+    // canonical snapshot of the input with dense docIds assigned — one
+    // range-shuffle on url, read by every later step (no re-tokenize of the
+    // raw input, no url joins downstream)
+    step("corpus", Map("orderedBy" -> "url")) {
+      val ranked = Ranker.denseIdsByKey(
+        pages.select($"url", $"text"), "url", "docId", cfg.partitions)
+      write(ranked.select($"docId", $"url",
+        size(K.krep_tokenize($"text")).as("dl"), $"text"), "corpus")
+    }
+
+    step("docs", Map.empty) {
+      write(spark.read.parquet(ice.tablePath("corpus"))
         .select($"docId", $"url", $"dl"), "docs")
     }
 
@@ -92,15 +103,15 @@ final class IndexBuilder(spark: SparkSession, root: String,
       Map("n" -> s.n.toString, "avgdl" -> s.avgdl.toString)
     }) {
       val docs = spark.read.parquet(ice.tablePath("docs"))
-      write(docs.agg(count("*").as("n"), avg("dl").as("avgdl")), "stats")
+      write(docs.agg(count("*").as("n"),
+        coalesce(avg("dl"), lit(0.0)).as("avgdl")), "stats")
     }
 
     step("tfrows", Map.empty) {
-      val docs = spark.read.parquet(ice.tablePath("docs"))
-      val tf = pages
-        .select($"url", explode(K.krep_term_freqs($"text")).as("t"))
-        .select($"url", $"t.term".as("term"), $"t.tf".as("tf"))
-      write(tf.join(docs, "url").select($"docId", $"term", $"tf", $"dl"),
+      val corpus = spark.read.parquet(ice.tablePath("corpus"))
+      write(corpus
+        .select($"docId", $"dl", explode(K.krep_term_freqs($"text")).as("t"))
+        .select($"docId", $"t.term".as("term"), $"t.tf".as("tf"), $"dl"),
         "tfrows")
     }
 
@@ -118,67 +129,25 @@ final class IndexBuilder(spark: SparkSession, root: String,
       val tfr = spark.read.parquet(ice.tablePath("tfrows"))
       val dictDf = spark.read.parquet(ice.tablePath("dict"))
         .select($"termId", $"term")
-      val dictRows = dictDf.count()
+      // row count comes from the committed dict lineage — no extra job
+      val dictRows = ice.completedSteps("dict").rowCount
       val dictJ =
         if (dictRows <= cfg.dictBroadcastThreshold) broadcast(dictDf) else dictDf
 
+      // hash-partition on (termId, segment): skew-proof by construction — a
+      // hot term's postings split across segments, each partition bounded by
+      // (terms-per-segment × docsPerSegment); unlike repartitionByRange this
+      // needs no sampling pass over the joined input. Blocks never span
+      // segments, so per-term blocks stay globally mergeable sorted runs.
       val rows = tfr.join(dictJ, "term")
         .select($"termId", $"docId", $"tf".cast("int"), $"dl".cast("int"))
         .as[(Long, Long, Int, Int)]
-        .repartitionByRange(cfg.partitions, $"termId", $"docId")
+        .repartition(cfg.partitions, $"termId",
+          floor($"docId" / cfg.docsPerSegment))
         .sortWithinPartitions($"termId", $"docId")
 
-      val blockSize = cfg.blockSize
-      val docsPerSegment = cfg.docsPerSegment
-      val blocks = rows.mapPartitions { it =>
-        new Iterator[PostingBlock] {
-          private var pending: PostingBlock = _
-          private val bufDoc = new Array[Long](blockSize)
-          private val bufTf = new Array[Int](blockSize)
-          private val bufDl = new Array[Int](blockSize)
-          private var len = 0
-          private var curTerm = -1L
-          private var curSeg = -1L
-
-          private def flush(): PostingBlock = {
-            var maxTf = 0
-            var minDl = Int.MaxValue
-            var i = 0
-            while (i < len) {
-              if (bufTf(i) > maxTf) maxTf = bufTf(i)
-              if (bufDl(i) < minDl) minDl = bufDl(i)
-              i += 1
-            }
-            val b = PostingBlock(curTerm, curSeg, bufDoc(0), bufDoc(len - 1),
-              len, maxTf, minDl,
-              BlockCodec.encodeDeltaLongs(java.util.Arrays.copyOf(bufDoc, len)),
-              BlockCodec.encodeInts(java.util.Arrays.copyOf(bufTf, len)),
-              BlockCodec.encodeInts(java.util.Arrays.copyOf(bufDl, len)))
-            len = 0
-            b
-          }
-
-          private def fill(): Unit = {
-            while (pending == null && it.hasNext) {
-              val (termId, docId, tf, dl) = it.next()
-              val seg = docId / docsPerSegment
-              if (len > 0 && (termId != curTerm || seg != curSeg || len == blockSize))
-                pending = flush()
-              curTerm = termId; curSeg = seg
-              bufDoc(len) = docId; bufTf(len) = tf; bufDl(len) = dl
-              len += 1
-            }
-            if (pending == null && len > 0) pending = flush()
-          }
-
-          override def hasNext: Boolean = { fill(); pending != null }
-          override def next(): PostingBlock = {
-            fill()
-            val b = pending; pending = null; b
-          }
-        }
-      }
-      write(blocks.toDF(), "postings")
+      write(IndexBuilder.encodeBlocks(rows, cfg.blockSize, cfg.docsPerSegment)
+        .toDF(), "postings")
     }
 
     ran.result()
@@ -187,5 +156,65 @@ final class IndexBuilder(spark: SparkSession, root: String,
   def loadStats(): IndexStats = {
     val r = spark.read.parquet(ice.tablePath("stats")).head()
     IndexStats(r.getLong(0), r.getDouble(1))
+  }
+}
+
+object IndexBuilder {
+  /** Encode (termId, docId, tf, dl) rows — sorted by (termId, docId) within
+    * partitions, blocks never spanning a docId segment — into compressed
+    * posting blocks. Shared by the batch build and the streaming appender.
+    */
+  def encodeBlocks(rows: org.apache.spark.sql.Dataset[(Long, Long, Int, Int)],
+      blockSize: Int, docsPerSegment: Long)
+      : org.apache.spark.sql.Dataset[PostingBlock] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      new Iterator[PostingBlock] {
+        private var pending: PostingBlock = _
+        private val bufDoc = new Array[Long](blockSize)
+        private val bufTf = new Array[Int](blockSize)
+        private val bufDl = new Array[Int](blockSize)
+        private var len = 0
+        private var curTerm = -1L
+        private var curSeg = -1L
+
+        private def flush(): PostingBlock = {
+          var maxTf = 0
+          var minDl = Int.MaxValue
+          var i = 0
+          while (i < len) {
+            if (bufTf(i) > maxTf) maxTf = bufTf(i)
+            if (bufDl(i) < minDl) minDl = bufDl(i)
+            i += 1
+          }
+          val b = PostingBlock(curTerm, curSeg, bufDoc(0), bufDoc(len - 1),
+            len, maxTf, minDl,
+            BlockCodec.encodeDeltaLongs(java.util.Arrays.copyOf(bufDoc, len)),
+            BlockCodec.encodeInts(java.util.Arrays.copyOf(bufTf, len)),
+            BlockCodec.encodeInts(java.util.Arrays.copyOf(bufDl, len)))
+          len = 0
+          b
+        }
+
+        private def fill(): Unit = {
+          while (pending == null && it.hasNext) {
+            val (termId, docId, tf, dl) = it.next()
+            val seg = docId / docsPerSegment
+            if (len > 0 && (termId != curTerm || seg != curSeg || len == blockSize))
+              pending = flush()
+            curTerm = termId; curSeg = seg
+            bufDoc(len) = docId; bufTf(len) = tf; bufDl(len) = dl
+            len += 1
+          }
+          if (pending == null && len > 0) pending = flush()
+        }
+
+        override def hasNext: Boolean = { fill(); pending != null }
+        override def next(): PostingBlock = {
+          fill()
+          val b = pending; pending = null; b
+        }
+      }
+    }
   }
 }

@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  4. global top-k merge: k rows per segment → `ORDER BY score DESC, docId
   *     ASC LIMIT k` (tiny), then a broadcast join against docs for urls.
   */
-final class QueryEngine(spark: SparkSession, root: String) {
+final class QueryEngine(spark: SparkSession, root: String,
+    localPostingsThreshold: Long = 5000000L) {
   import spark.implicits._
 
   private val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
@@ -39,24 +40,53 @@ final class QueryEngine(spark: SparkSession, root: String) {
     KrepTokenize.tokenize(UTF8String.fromString(query))
       .map(_.toString).distinct.sorted
 
-  final case class TermMeta(termIdx: Int, termId: Long, idf: Double)
+  final case class TermMeta(termIdx: Int, termId: Long, df: Long, idf: Double)
+
+  /** Small dictionaries are cached on the driver after the first lookup (the
+    * analog of a search node's in-memory term dictionary): term resolution
+    * then costs zero Spark jobs. Above the threshold (10^12-doc scale) the
+    * lookup is a parquet scan pruned on `term` — the dict is written sorted
+    * by term, so row-group min/max skipping reads a handful of pages.
+    */
+  private val dictCacheThreshold = 500000L
+  @volatile private var dictCache: Map[String, (Long, Long)] = _
+
+  private def dictRowCount: Long = ice.completedSteps("dict").rowCount
 
   private def lookupTerms(terms: Array[String]): Array[TermMeta] = {
     if (terms.isEmpty) return Array.empty
-    val rows = spark.read.parquet(ice.tablePath("dict"))
-      .filter($"term".isin(terms.toSeq: _*))
-      .select($"term", $"termId", $"df")
-      .collect()
-    val byTerm = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byTerm: String => Option[(Long, Long)] =
+      if (dictRowCount <= dictCacheThreshold) {
+        if (dictCache == null) synchronized {
+          if (dictCache == null) {
+            dictCache = spark.read.parquet(ice.tablePath("dict"))
+              .select($"term", $"termId", $"df").collect()
+              .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+          }
+        }
+        dictCache.get
+      } else {
+        val rows = spark.read.parquet(ice.tablePath("dict"))
+          .filter($"term".isin(terms.toSeq: _*))
+          .select($"term", $"termId", $"df")
+          .collect()
+        rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap.get
+      }
     terms.zipWithIndex.flatMap { case (t, i) =>
-      byTerm.get(t).map { case (id, df) =>
-        TermMeta(i, id, Bm25.idf(stats.n, df))
+      byTerm(t).map { case (id, df) =>
+        TermMeta(i, id, df, Bm25.idf(stats.n, df))
       }
     }
   }
 
   /** Exact top-k (docId, score), ties docId ASC — rank-identical to the
     * brute-force oracle.
+    *
+    * Two physical strategies with identical semantics (the analog of the
+    * reference's single-chunk inline fast path, krep.c:2886-2889): when the
+    * query's total posting count (Σ df, known for free from the dict lookup)
+    * is small, blocks are collected and WAND runs on the driver — one Spark
+    * job instead of three. Big queries fan out per segment across executors.
     */
   def search(query: String, k: Int): Array[ScoredDoc] = {
     val metas = lookupTerms(canonicalTerms(query))
@@ -66,28 +96,39 @@ final class QueryEngine(spark: SparkSession, root: String) {
     val idfOf = metas.map(m => m.termIdx -> m.idf).toMap
     val nTerms = metas.map(_.termIdx).max + 1
     val avgdl = stats.avgdl
+    val k0 = k
 
     val blocks = spark.read.parquet(ice.tablePath("postings"))
       .filter($"termId".isin(ids.toSeq: _*))
       .as[PostingBlock]
 
-    val perSegment = blocks
-      .groupByKey(_.segId)
-      .flatMapGroups { (_, it) =>
-        val bySlot = Array.fill(nTerms)(Vector.empty[PostingBlock])
-        it.foreach { b =>
-          val slot = idxOf(b.termId)
-          bySlot(slot) = bySlot(slot) :+ b
-        }
-        val termBlocks = bySlot.map(_.sortBy(_.firstDoc).toArray)
-        val idfs = Array.tabulate(nTerms)(i => idfOf.getOrElse(i, 0.0))
-        BlockMaxWand.topK(termBlocks, idfs, avgdl, k).iterator
+    def wandOnSegment(segBlocks: Iterator[PostingBlock]): Iterator[ScoredDoc] = {
+      val bySlot = Array.fill(nTerms)(Vector.empty[PostingBlock])
+      segBlocks.foreach { b =>
+        val slot = idxOf(b.termId)
+        bySlot(slot) = bySlot(slot) :+ b
       }
+      val termBlocks = bySlot.map(_.sortBy(_.firstDoc).toArray)
+      val idfs = Array.tabulate(nTerms)(i => idfOf.getOrElse(i, 0.0))
+      BlockMaxWand.topK(termBlocks, idfs, avgdl, k0).iterator
+    }
 
-    perSegment
-      .orderBy($"score".desc, $"docId".asc)
-      .limit(k)
-      .collect()
+    if (metas.map(_.df).sum <= localPostingsThreshold) {
+      // driver-local strategy: one pruned-scan job, WAND per segment inline
+      val all = blocks.collect()
+      all.groupBy(_.segId).iterator
+        .flatMap { case (_, bs) => wandOnSegment(bs.iterator) }
+        .toArray
+        .sortBy(s => (-s.score, s.docId))
+        .take(k)
+    } else {
+      blocks
+        .groupByKey(_.segId)
+        .flatMapGroups((_, it) => wandOnSegment(it))
+        .orderBy($"score".desc, $"docId".asc)
+        .limit(k)
+        .collect()
+    }
   }
 
   /** Top-k with urls resolved — the user-facing result relation. */

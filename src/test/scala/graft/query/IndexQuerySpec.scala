@@ -25,7 +25,7 @@ class IndexQuerySpec extends AnyFunSuite {
     val builder = new IndexBuilder(spark, dir,
       IndexConfig(blockSize = 64, docsPerSegment = 512, partitions = 4))
     val ran = builder.build(pages)
-    assert(ran == Seq("docs", "stats", "tfrows", "dict", "postings"))
+    assert(ran == Seq("corpus", "docs", "stats", "tfrows", "dict", "postings"))
     dir
   }
 
@@ -79,6 +79,39 @@ class IndexQuerySpec extends AnyFunSuite {
     val expectedSeqs = (0L until nDocs).filter(i =>
       i % 97 == 0 && (i / 97) % SynthWebText.Markers.length == 0)
     assert(hits.length == expectedSeqs.size)
+  }
+
+  test("kill-and-rerun resume: crash after tfrows, rerun completes identically") {
+    val cleanRoot = Files.createTempDirectory("graft-clean-").toString
+    val resumeRoot = Files.createTempDirectory("graft-resume-").toString
+    val small = SynthWebText.pages(spark, 300L, numPartitions = 2).cache()
+    val cfg = graft.index.IndexConfig(blockSize = 32, docsPerSegment = 128,
+      partitions = 2)
+
+    new IndexBuilder(spark, cleanRoot, cfg).build(small)
+
+    val crashed = intercept[RuntimeException] {
+      new IndexBuilder(spark, resumeRoot, cfg)
+        .build(small, failAfter = Some("tfrows"))
+    }
+    assert(crashed.getMessage.contains("injected failure"))
+    val committed = new graft.index.IceTable(resumeRoot,
+      spark.sparkContext.hadoopConfiguration).completedSteps.keySet
+    assert(committed == Set("corpus", "docs", "stats", "tfrows"))
+
+    val resumed = new IndexBuilder(spark, resumeRoot, cfg).build(small)
+    assert(resumed == Seq("dict", "postings"),
+      s"resume should run only the missing steps, ran: $resumed")
+
+    // resumed index answers queries identically to the uninterrupted build
+    val a = new QueryEngine(spark, cleanRoot)
+    val b = new QueryEngine(spark, resumeRoot)
+    Seq(t(0), s"${t(1)} ${t(5)}", SynthWebText.Markers(1)).foreach { q =>
+      val ra = a.search(q, 10).map(s => (s.docId, s.score)).toSeq
+      val rb = b.search(q, 10).map(s => (s.docId, s.score)).toSeq
+      assert(ra == rb, s"resumed index diverges on '$q'")
+    }
+    small.unpersist()
   }
 
   test("searchDf resolves urls and preserves rank order") {

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.corpus.SynthWebText
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.query.QueryEngine
+
+class StreamingIndexerSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val cfg = IndexConfig(blockSize = 32, docsPerSegment = 128, partitions = 2)
+  private def t(r: Int) = SynthWebText.term(r)
+
+  /** (score, url) results — url-keyed because batch and incremental builds
+    * assign different docIds to the same documents.
+    */
+  private def resultsByUrl(root: String, q: String, k: Int): Seq[(Double, String)] =
+    new QueryEngine(spark, root).searchDf(q, k).collect()
+      .map(r => (r.getDouble(3), r.getString(2)))
+      .sortBy { case (s, u) => (-s, u) }.toSeq
+
+  test("incremental appendBatch x3 == one batch build (same urls + scores)") {
+    import spark.implicits._
+    val n = 900L
+    val all = SynthWebText.pages(spark, n, numPartitions = 2).cache()
+
+    val batchRoot = Files.createTempDirectory("graft-sb-").toString
+    new IndexBuilder(spark, batchRoot, cfg).build(all)
+
+    val streamRoot = Files.createTempDirectory("graft-ss-").toString
+    val indexer = new StreamingIndexer(spark, streamRoot, cfg)
+    Seq(0L until 300L, 300L until 600L, 600L until 900L).foreach { range =>
+      indexer.appendBatch(
+        spark.range(range.head, range.last + 1, 1, 2)
+          .map(i => SynthWebText.page(i)))
+    }
+
+    // redelivery is a no-op (exactly-once per url)
+    indexer.appendBatch(
+      spark.range(0L, 100L, 1, 2).map(i => SynthWebText.page(i)))
+
+    Seq(t(0), t(100), s"${t(3)} ${t(7)}", SynthWebText.Markers(0)).foreach { q =>
+      val batch = resultsByUrl(batchRoot, q, 15)
+      val stream = resultsByUrl(streamRoot, q, 15)
+      assert(batch == stream, s"incremental index diverges on '$q'")
+    }
+    all.unpersist()
+  }
+
+  test("readStream → watermark → dropDuplicates → foreachBatch end-to-end") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-in-").toString
+    val ckDir = Files.createTempDirectory("graft-ck-").toString
+    val root = Files.createTempDirectory("graft-st-").toString
+
+    SynthWebText.pages(spark, 200L, numPartitions = 2)
+      .write.mode("append").parquet(inDir)
+
+    val indexer = new StreamingIndexer(spark, root, cfg)
+    val q = indexer.start(inDir, ckDir)
+      .asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+    // process what's available, then stop
+    q.processAllAvailable()
+    q.stop()
+
+    val hits = new QueryEngine(spark, root).search(SynthWebText.Markers(0), 10)
+    assert(hits.nonEmpty, "streamed index should answer the marker query")
+  }
+}
