@@ -105,6 +105,22 @@ object EntryQueries {
             KrepParams(Seq("spark", "merge", "window"))).as("n_hits"))
         .orderBy($"doc_id")
     }),
+    "krep_matching_lines" -> ((s, dir) => { // the default grep projection (P7)
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          posexplode(split(regexp_replace($"text", "table", "\n"), "\n")))
+        .filter(K.krep_contains($"col", "value"))
+        .select($"doc_id", ($"pos" + 1).cast("int").as("ln"), $"col".as("line"))
+        .orderBy($"doc_id", $"ln")
+    }),
+    "krep_max_count" -> ((s, dir) => { // the -m limiter (A3)
+      import s.implicits._
+      t(s, dir, "part")
+        .select($"p_partkey",
+          K.krep_count($"p_name", KrepParams(Seq("a"), maxCount = 2)).as("a_capped"))
+        .orderBy($"p_partkey")
+    }),
     "krep_regex_extract" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "events")
@@ -243,6 +259,22 @@ object EntryQueries {
     }),
 
     // ---- multimodal plumbing ----------------------------------------------
+    "multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      graft.ops.MultiModal.extractFeatures(media, "doc_id", "payload")
+        .select($"id", $"n_bytes", $"format")
+        .orderBy($"id")
+    }),
+    "multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      graft.ops.MultiModal.sampleFrames(media, "doc_id", "payload")
+        .groupBy($"id").agg(count(lit(1)).as("n_frames"))
+        .orderBy($"id")
+    }),
     "multimodal_meta" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -297,6 +329,15 @@ object EntryQueries {
           |+ (length(text)-length(replace(text,'merge','')))//5
           |+ (length(text)-length(replace(text,'window','')))//6 AS BIGINT) AS n_hits
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "krep_matching_lines" ->
+        """WITH t AS (SELECT doc_id, string_split(replace(text,'table',chr(10)), chr(10)) AS lines FROM documents),
+          |e AS (SELECT doc_id, unnest(list_filter(list_transform(lines,
+          |      (l, i) -> {'ln': i, 'line': l}), s -> contains(s.line, 'value'))) AS u FROM t)
+          |SELECT doc_id, CAST(u.ln AS INTEGER) AS ln, u.line AS line FROM e
+          |ORDER BY doc_id, ln""".stripMargin,
+      "krep_max_count" ->
+        """SELECT p_partkey, CAST(least(length(p_name)-length(replace(p_name,'a','')), 2) AS BIGINT) AS a_capped
+          |FROM part ORDER BY p_partkey""".stripMargin,
       "krep_regex_extract" ->
         """SELECT event_id, unnest(regexp_extract_all(props,'[0-9]+')) AS tok
           |FROM events ORDER BY event_id, tok""".stripMargin,
@@ -365,6 +406,14 @@ object EntryQueries {
           |scores AS (SELECT doc_id, sum(a) AS score FROM addends GROUP BY doc_id)
           |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk, doc_id
           |FROM scores ORDER BY rnk LIMIT 15""".stripMargin,
+      "multimodal_features" ->
+        """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |CASE WHEN left(text,1) = '<' THEN 'html' ELSE 'raw' END AS format
+          |FROM documents ORDER BY id""".stripMargin,
+      "multimodal_frames" ->
+        """SELECT doc_id AS id, CAST(CASE WHEN octet_length(encode(text)) <= 16 THEN 0
+          |ELSE (octet_length(encode(text)) - 17) // 64 + 1 END AS BIGINT) AS n_frames
+          |FROM documents ORDER BY id""".stripMargin,
       "multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |CAST(CASE WHEN ascii(text) >= 128 THEN 1 ELSE 0 END AS BIGINT) AS bit0

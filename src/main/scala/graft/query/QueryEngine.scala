@@ -53,6 +53,22 @@ final class QueryEngine(spark: SparkSession, root: String,
 
   private def dictRowCount: Long = ice.completedSteps("dict").rowCount
 
+  /** Postings relation, pinned in executor memory when the index is small
+    * enough (a search tier keeps its segments hot; in-memory batch stats
+    * still prune on termId). Above the threshold: plain pruned parquet
+    * scans — at 10^12 docs the OS page cache and row-group skipping carry
+    * the locality.
+    */
+  private val cacheBlocksThreshold = 20000000L // block rows
+  @transient private lazy val postingsDs: org.apache.spark.sql.DataFrame = {
+    val raw = spark.read.parquet(ice.tablePath("postings"))
+    if (ice.completedSteps("postings").rowCount <= cacheBlocksThreshold) {
+      val cached = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count() // materialize once
+      cached
+    } else raw
+  }
+
   private def lookupTerms(terms: Array[String]): Array[TermMeta] = {
     if (terms.isEmpty) return Array.empty
     val byTerm: String => Option[(Long, Long)] =
@@ -98,7 +114,7 @@ final class QueryEngine(spark: SparkSession, root: String,
     val avgdl = stats.avgdl
     val k0 = k
 
-    val blocks = spark.read.parquet(ice.tablePath("postings"))
+    val blocks = postingsDs
       .filter($"termId".isin(ids.toSeq: _*))
       .as[PostingBlock]
 

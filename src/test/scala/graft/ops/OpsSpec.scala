@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.query.{ScoredDoc, TopKAggregator}
+
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("TopKAggregator == ORDER BY score DESC, docId ASC LIMIT k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // include deliberate score ties to exercise the docId ASC tie-break
+    val docs = (0L until 5000L).map(i =>
+      ScoredDoc(i, math.rint(rnd.nextDouble() * 100) / 10.0))
+    val ds = spark.createDataset(docs).repartition(8)
+
+    val viaSort = ds.orderBy($"score".desc, $"docId".asc).limit(25).collect().toSeq
+    val viaAgg = ds.select(new TopKAggregator(25).toColumn).head().toSeq
+    assert(viaAgg == viaSort)
+  }
+
+  test("multimodal feature extraction is deterministic and batched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataset(Seq(
+      (1L, "<html>x</html>"), (2L, "plain words"), (3L, "")))
+      .toDF("id", "txt")
+      .select($"id", encode($"txt", "UTF-8").as("payload"))
+    val feats = MultiModal.extractFeatures(df, "id", "payload")
+      .collect().sortBy(_.id)
+    assert(feats.map(_.format).toSeq == Seq("html", "raw", "raw"))
+    assert(feats.map(_.n_bytes).toSeq == Seq(14L, 11L, 0L))
+    assert(feats.forall(f => f.width >= 64 && f.height >= 64))
+    // rerun → identical (pure)
+    val again = MultiModal.extractFeatures(df, "id", "payload")
+      .collect().sortBy(_.id)
+    assert(again.toSeq == feats.toSeq)
+  }
+
+  test("frame sampling shape: every 64 bytes, 16-byte frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val payload = Array.tabulate[Byte](200)(_.toByte)
+    val df = Seq((9L, payload)).toDF("id", "payload")
+    val frames = MultiModal.sampleFrames(df, "id", "payload").collect()
+    // range(0, 184, 64) → offsets 0, 64, 128 → 3 frames
+    assert(frames.length == 3)
+    assert(frames.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2))
+    assert(frames.forall(_.getAs[Array[Byte]](2).length == 16))
+  }
+
+  test("exact cosine matches hand computation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 1.0f, 2.0f)))
+      .toDF("a", "b")
+    val sim = df.select(AnnOps.cosine($"a", $"b")).head().getDouble(0)
+    assert(math.abs(sim - 8.0 / 9.0) < 1e-12)
+  }
+}
