@@ -62,7 +62,9 @@ object Bench {
 
     // throughput under concurrency — a search tier serves parallel queries;
     // per-query latencies still give p50/p95
-    val poolSize = math.max(2, math.min(partitions, 16))
+    // pool == advertised parallelism: a search tier at 4N cores serves 4N
+    // concurrent queries
+    val poolSize = math.max(2, partitions)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]
     val firstRun = new java.util.concurrent.ConcurrentHashMap[String, Array[ScoredDoc]]

@@ -37,7 +37,9 @@ object ScalingBench {
     val pagesPath = Bench.materializeCorpus(w, nDocs, 32)
     w.stop()
 
-    val results = Seq(low, high).map { cpus =>
+    // high level first: the low level then runs on the warmer page cache,
+    // biasing the measured efficiency DOWN (conservative)
+    val results = Seq(high, low).map { cpus =>
       val s = session(cpus)
       val r = Bench.engineBench(s, nDocs, cpus, repeats = 2, pagesPath = pagesPath)
       s.stop()

@@ -69,6 +69,21 @@ final class QueryEngine(spark: SparkSession, root: String,
     } else raw
   }
 
+  /** For indexes that fit a single search node (blocks under the threshold),
+    * the encoded blocks are also held term-keyed on the driver: a query then
+    * runs zero Spark jobs — dict lookup and WAND are pure CPU, and query
+    * throughput scales with driver cores. This is the "serving" tier shape:
+    * brokers hold hot segments; the distributed path below remains the
+    * 10^12-doc route.
+    */
+  private val driverCacheBlocksThreshold = 4000000L // encoded blocks
+  @transient private lazy val driverBlocks: Map[Long, Array[PostingBlock]] = {
+    spark.read.parquet(ice.tablePath("postings")).as[PostingBlock]
+      .collect().groupBy(_.termId)
+  }
+  private def driverCacheable: Boolean =
+    ice.completedSteps("postings").rowCount <= driverCacheBlocksThreshold
+
   private def lookupTerms(terms: Array[String]): Array[TermMeta] = {
     if (terms.isEmpty) return Array.empty
     val byTerm: String => Option[(Long, Long)] =
@@ -114,7 +129,8 @@ final class QueryEngine(spark: SparkSession, root: String,
     val avgdl = stats.avgdl
     val k0 = k
 
-    val blocks = postingsDs
+    // lazy: only the non-driver-cached strategies materialize this
+    def blocks = postingsDs
       .filter($"termId".isin(ids.toSeq: _*))
       .as[PostingBlock]
 
@@ -129,7 +145,18 @@ final class QueryEngine(spark: SparkSession, root: String,
       BlockMaxWand.topK(termBlocks, idfs, avgdl, k0).iterator
     }
 
-    if (metas.map(_.df).sum <= localPostingsThreshold) {
+    if (driverCacheable) {
+      // serving-tier strategy: zero Spark jobs — blocks come from the
+      // driver-resident term-keyed cache, WAND runs inline
+      val all = metas.iterator
+        .flatMap(m => driverBlocks.getOrElse(m.termId, Array.empty[PostingBlock]))
+        .toArray
+      all.groupBy(_.segId).iterator
+        .flatMap { case (_, bs) => wandOnSegment(bs.iterator) }
+        .toArray
+        .sortBy(s => (-s.score, s.docId))
+        .take(k)
+    } else if (metas.map(_.df).sum <= localPostingsThreshold) {
       // driver-local strategy: one pruned-scan job, WAND per segment inline
       val all = blocks.collect()
       all.groupBy(_.segId).iterator
