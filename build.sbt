@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // batch-throughput GC: steadier than G1 for the allocation-heavy
+  // tokenize/shuffle phases (and for bench run-to-run stability)
+  "-XX:+UseParallelGC",
 )

@@ -25,12 +25,23 @@ object Bench {
       SynthWebText.Markers
   }
 
+  /** Bench working dirs live on tmpfs when available: the scaling protocol
+    * measures CPU parallelism, and the sandbox's virtual disk adds hundreds
+    * of seconds of run-to-run IO noise that has nothing to do with cores.
+    */
+  def benchTmpDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, prefix).toString
+    else Files.createTempDirectory(prefix).toString
+  }
+
   /** Materialize the deterministic corpus as a parquet table (the "existing
     * Iceberg input" of a real pipeline) — NOT counted as indexing time.
     */
   def materializeCorpus(spark: SparkSession, nDocs: Long,
       partitions: Int): String = {
-    val path = s"${Files.createTempDirectory("graft-pages-")}/pages.parquet"
+    val path = s"${benchTmpDir("graft-pages-")}/pages.parquet"
     SynthWebText.pages(spark, nDocs, numPartitions = partitions)
       .write.mode("overwrite").parquet(path)
     path
@@ -48,7 +59,7 @@ object Bench {
   def engineBench(spark: SparkSession, nDocs: Long, partitions: Int,
       repeats: Int = 2, pagesPath: String = null): EngineBenchResult = {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-bench-").toString
+    val root = benchTmpDir("graft-bench-")
     val path = Option(pagesPath)
       .getOrElse(materializeCorpus(spark, nDocs, partitions))
     val pages = spark.read.parquet(path).as[graft.corpus.Page]

@@ -128,6 +128,20 @@ object EntryQueries {
           explode(K.krep_regex_extract($"props", "[0-9]+")).as("tok"))
         .orderBy($"event_id", $"tok")
     }),
+    "krep_exists" -> ((s, dir) => { // exit-status boolean aggregate (A4)
+      import s.implicits._
+      t(s, dir, "documents").agg(
+        (count(when(K.krep_contains($"text", "spark"), 1)) > 0).as("found"),
+        count(when(K.krep_contains($"text", "zzzznotaword"), 1)).as("misses"))
+    }),
+    "prune_antijoin" -> ((s, dir) => { // gitignore-style source pruning (S9)
+      import s.implicits._
+      val skip = Seq("src0", "src7", "src13").toDF("source")
+      t(s, dir, "documents")
+        .join(broadcast(skip), Seq("source"), "left_anti")
+        .groupBy($"source").agg(count(lit(1)).as("kept"))
+        .orderBy($"source")
+    }),
     "ascii_lower_distinct" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "part").select(K.ascii_lower($"p_type").as("tp"))
@@ -341,6 +355,13 @@ object EntryQueries {
       "krep_regex_extract" ->
         """SELECT event_id, unnest(regexp_extract_all(props,'[0-9]+')) AS tok
           |FROM events ORDER BY event_id, tok""".stripMargin,
+      "krep_exists" ->
+        """SELECT count(*) FILTER (WHERE text LIKE '%spark%') > 0 AS found,
+          |count(*) FILTER (WHERE text LIKE '%zzzznotaword%') AS misses FROM documents""".stripMargin,
+      "prune_antijoin" ->
+        """SELECT source, count(*) AS kept FROM documents
+          |WHERE source NOT IN ('src0','src7','src13')
+          |GROUP BY source ORDER BY source""".stripMargin,
       "ascii_lower_distinct" ->
         "SELECT DISTINCT lower(p_type) AS tp FROM part ORDER BY tp",
       "tokenize_count" ->

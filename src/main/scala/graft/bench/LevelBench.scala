@@ -1,0 +1,55 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Bench
+
+/** One cluster-size level of the scaling benchmark, meant to run inside a
+  * `taskset -c 0-(N-1)` pinned JVM so that N advertised cores are N real
+  * cores (driver-side WAND threads included — `local[N]` alone only caps
+  * Spark task threads).
+  *
+  *   taskset -c 0-31 sbt "runMain graft.bench.LevelBench 300000 32"
+  *   taskset -c 0-7  sbt "runMain graft.bench.LevelBench 300000 8"
+  *
+  * The input corpus is materialized once at a deterministic path and shared
+  * by both levels (identical input, per the scaling protocol). Prints one
+  * JSON line.
+  */
+object LevelBench {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.lift(0).map(_.toLong).getOrElse(300000L)
+    val cpus = args.lift(1).map(_.toInt).getOrElse(32)
+
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-level-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", // shuffle spill on tmpfs: measure cores, not the virtual disk
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
+        else System.getProperty("java.io.tmpdir"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // shared deterministic input (created by whichever level runs first)
+    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+    val pagesPath = s"$base/graft-bench-pages-$nDocs/pages.parquet"
+    if (!new java.io.File(pagesPath).exists())
+      graft.corpus.SynthWebText.pages(spark, nDocs, numPartitions = 32)
+        .write.mode("overwrite").parquet(pagesPath)
+
+    // JIT/classloader warmup + page-cache warm of the input
+    Bench.engineBench(spark, 2000L, cpus, repeats = 1)
+    spark.read.parquet(pagesPath).selectExpr("sum(octet_length(html))").collect()
+
+    val r = Bench.engineBench(spark, nDocs, cpus, repeats = 3,
+      pagesPath = pagesPath)
+    val m = r.metrics.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString(",")
+    println(s"""{"level":$cpus,"nDocs":$nDocs,$m,"checksum":"${r.resultsChecksum}"}""")
+    spark.stop()
+  }
+}

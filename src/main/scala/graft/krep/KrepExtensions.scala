@@ -61,6 +61,8 @@ object KrepExtensions {
     "krep_contains" -> (args => KrepContains(args.head, params1(args))),
     "krep_count" -> (args => KrepCount(args.head, params1(args))),
     "krep_count_lines" -> (args => KrepCountLines(args.head, params1(args))),
+    "krep_positions" -> (args => KrepPositions(args.head, params1(args))),
+    "krep_extract" -> (args => KrepExtract(args.head, params1(args))),
     "krep_tokenize" -> (args => KrepTokenize(args.head)),
     "ascii_lower" -> (args => AsciiLower(args.head)))
 }

@@ -175,22 +175,23 @@ object KrepTermFreqs {
     StructField("tf", IntegerType, nullable = false))), containsNull = false)
 
   def termFreqs(s: UTF8String): GenericArrayData = {
+    // sort + run-length encode: no per-token map nodes or boxing — this is
+    // the hottest loop of the whole index build
     val toks = KrepTokenize.tokenize(s)
-    val m = new java.util.TreeMap[UTF8String, Integer]()
-    var i = 0
-    while (i < toks.length) {
-      m.merge(toks(i), Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
+    java.util.Arrays.sort(toks, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    val rows = new java.util.ArrayList[Any](toks.length / 2 + 1)
+    var runStart = 0
+    var i = 1
+    while (i <= toks.length) {
+      if (i == toks.length || toks(i).compareTo(toks(runStart)) != 0) {
+        rows.add(org.apache.spark.sql.catalyst.InternalRow(
+          toks(runStart), i - runStart))
+        runStart = i
+      }
       i += 1
     }
-    val rows = new Array[Any](m.size)
-    val it = m.entrySet().iterator()
-    var k = 0
-    while (it.hasNext) {
-      val e = it.next()
-      rows(k) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue.intValue())
-      k += 1
-    }
-    new GenericArrayData(rows)
+    new GenericArrayData(rows.toArray)
   }
 }
 
