@@ -220,27 +220,40 @@ object EntryQueries {
       import s.implicits._
       val bands = 8
       val rows = 4
-      val d = t(s, dir, "documents").select($"doc_id",
-        TextOps.minhashSignature($"text", k = bands * rows).as("sig"))
+      // persist() between the projections is a materialization BARRIER:
+      // Catalyst's CollapseProject would otherwise merge them and re-inline
+      // the shingle-hash pipeline into each of the k min-scans (measured
+      // 32x recompute, 73s -> 10s on sf0.1)
+      val hashed = t(s, dir, "documents")
+        .select($"doc_id", TextOps.shingleHashes($"text").as("hs"))
+        .persist()
+      val d = hashed.select($"doc_id",
+        TextOps.minhashFromHashes($"hs", k = bands * rows).as("sig"))
+        .persist()
       val banded = d.select($"doc_id", $"sig",
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           bnd => xxhash64(slice($"sig", bnd * rows + 1, lit(rows)), bnd))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
       val l = banded.select($"band", $"bhash", $"doc_id".as("id_a"), $"sig".as("sig_a"))
       val r = banded.select($"band", $"bhash", $"doc_id".as("id_b"), $"sig".as("sig_b"))
+      // estimate in the join projection (deterministic per pair), filter to
+      // near-dups, THEN dedup — the wide signature arrays never shuffle
       l.join(r, Seq("band", "bhash")).filter($"id_a" < $"id_b")
-        .dropDuplicates("id_a", "id_b")
         .select($"id_a", $"id_b",
           (aggregate(zip_with($"sig_a", $"sig_b",
             (x, y) => when(x === y, 1L).otherwise(0L)),
             lit(0L), (acc, v) => acc + v) * 10000L / size($"sig_a"))
             .cast("long").as("est_bps"))
+        .filter($"est_bps" >= 7000L)
+        .dropDuplicates("id_a", "id_b")
         .orderBy($"id_a", $"id_b")
     }),
     "simhash" -> ((s, dir) => { // no SQL oracle (xxhash64-based)
       import s.implicits._
       t(s, dir, "documents")
-        .select($"doc_id", TextOps.simhash64($"text").as("sh"))
+        .select($"doc_id", TextOps.hashedTermFreqs($"text").as("htf"))
+        .persist() // barrier: stop CollapseProject inlining htf 64x
+        .select($"doc_id", TextOps.simhash64FromHashedTf($"htf").as("sh"))
         .orderBy($"doc_id")
     }),
 

@@ -78,27 +78,48 @@ object TextOps {
     * shingle, then k cheap universal-hash mixes — O(k·|shingles|) arithmetic,
     * one pass, no shuffle.
     */
-  def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column = {
-    val sh = shingles(text, shingleN)
-    // the i-th hash family member is xxhash64 seeded by i (no wrapping
-    // multiply — ANSI mode rejects overflow)
+  /** Hash each shingle once. Materialize this as its own column before
+    * calling [[minhashFromHashes]]: higher-order lambdas get no common-
+    * subexpression elimination, so feeding an expression (rather than a
+    * bound column) recomputes the whole shingle pipeline k times per row.
+    */
+  def shingleHashes(text: Column, shingleN: Int = 3): Column =
+    transform(shingles(text, shingleN), s => xxhash64(s))
+
+  /** MinHash signature from pre-hashed shingles: the i-th hash family
+    * member is xxhash64 re-seeded by i (no wrapping multiply — ANSI mode
+    * rejects overflow).
+    */
+  def minhashFromHashes(hs: Column, k: Int = 32): Column =
     transform(sequence(lit(0), lit(k - 1)), i =>
-      aggregate(sh, lit(Long.MaxValue), (m, s) => least(m, xxhash64(s, i))))
-  }
+      aggregate(hs, lit(Long.MaxValue), (m, h) => least(m, xxhash64(h, i))))
+
+  def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column =
+    minhashFromHashes(shingleHashes(text, shingleN), k)
 
   /** SimHash64 over term frequencies: bit j set iff Σ tf·(±1 from hash bit j)
     * is positive.
     */
-  def simhash64(text: Column): Column = {
-    val tfs = K.krep_term_freqs(text)
+  /** (termHash, tf) pairs — materialize as a column before
+    * [[simhash64FromHashedTf]] (see [[shingleHashes]] for why).
+    */
+  def hashedTermFreqs(text: Column): Column =
+    transform(K.krep_term_freqs(text), e =>
+      struct(xxhash64(e.getField("term")).as("h"),
+        e.getField("tf").cast("long").as("tf")))
+
+  def simhash64FromHashedTf(htf: Column): Column = {
     val bits: Seq[Column] = (0 until 64).map { j =>
       when(
-        aggregate(tfs, lit(0L), (acc, e) =>
-          acc + e.getField("tf").cast("long") *
-            when(shiftright(xxhash64(e.getField("term")), j)
+        aggregate(htf, lit(0L), (acc, e) =>
+          acc + e.getField("tf") *
+            when(shiftright(e.getField("h"), j)
               .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0L,
         1L).otherwise(0L)
     }
     bits.foldLeft(lit(0L))((acc, b) => shiftleft(acc, 1).bitwiseOR(b))
   }
+
+  def simhash64(text: Column): Column =
+    simhash64FromHashedTf(hashedTermFreqs(text))
 }
