@@ -24,7 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     ASC LIMIT k` (tiny), then a broadcast join against docs for urls.
   */
 final class QueryEngine(spark: SparkSession, root: String,
-    localPostingsThreshold: Long = 5000000L) {
+    localPostingsThreshold: Long = 5000000L,
+    driverCacheBlocksThreshold: Long = 4000000L) {
   import spark.implicits._
 
   private val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
@@ -76,7 +77,6 @@ final class QueryEngine(spark: SparkSession, root: String,
     * brokers hold hot segments; the distributed path below remains the
     * 10^12-doc route.
     */
-  private val driverCacheBlocksThreshold = 4000000L // encoded blocks
   @transient private lazy val driverBlocks: Map[Long, Array[PostingBlock]] = {
     spark.read.parquet(ice.tablePath("postings")).as[PostingBlock]
       .collect().groupBy(_.termId)

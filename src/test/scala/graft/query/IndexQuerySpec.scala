@@ -64,6 +64,23 @@ class IndexQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("all three physical strategies return identical results") {
+    // force each strategy via the thresholds; same index, same queries
+    val serving = new QueryEngine(spark, indexRoot)
+    val pruned = new QueryEngine(spark, indexRoot,
+      driverCacheBlocksThreshold = 0L) // collect-pruned-blocks path
+    val distributed = new QueryEngine(spark, indexRoot,
+      localPostingsThreshold = 0L, driverCacheBlocksThreshold = 0L)
+    Seq(t(0), s"${t(0)} ${t(1)}", s"${t(3)} ${t(7)} ${t(11)}",
+      SynthWebText.Markers(2)).foreach { q =>
+      val a = serving.search(q, 10).map(s => (s.docId, s.score)).toSeq
+      val b = pruned.search(q, 10).map(s => (s.docId, s.score)).toSeq
+      val c = distributed.search(q, 10).map(s => (s.docId, s.score)).toSeq
+      assert(a == b, s"pruned-scan strategy diverges on '$q'")
+      assert(a == c, s"distributed strategy diverges on '$q'")
+    }
+  }
+
   test("absent term returns empty; unknown+known mix equals known alone") {
     val engine = new QueryEngine(spark, indexRoot)
     assert(engine.search("zzzqqqxxxnotaword", 10).isEmpty)
