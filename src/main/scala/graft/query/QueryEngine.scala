@@ -174,6 +174,65 @@ final class QueryEngine(spark: SparkSession, root: String,
     }
   }
 
+  /** Exact phrase search (SURVEY.md §3.4: index candidates + krep re-check):
+    *
+    *  1. conjunctive candidates from the index — decode only the phrase
+    *     terms' posting blocks, keep docIds carrying ALL terms (posting-list
+    *     intersection), scoring addends as we go;
+    *  2. re-check the byte-exact phrase with the krep literal matcher
+    *     against the corpus text of the candidates only (a pruned semi-join,
+    *     never a corpus scan);
+    *  3. BM25 order (score DESC, docId ASC), top-k.
+    */
+  def searchPhrase(phrase: String, k: Int): Array[ScoredDoc] = {
+    import graft.krep.{KrepParams, functions => K}
+    val metas = lookupTerms(canonicalTerms(phrase))
+    val nTerms = canonicalTerms(phrase).length
+    if (metas.length < nTerms) return Array.empty // some term absent → no doc has all
+    val ids = metas.map(_.termId)
+    val idfOf = metas.map(m => m.termId -> m.idf).toMap
+    val avgdl = stats.avgdl
+    val idxOfTerm = metas.map(m => m.termId -> m.termIdx).toMap
+
+    // decode postings of the phrase terms into (docId, termIdx, addend)
+    val addends = spark.read.parquet(ice.tablePath("postings"))
+      .filter($"termId".isin(ids.toSeq: _*))
+      .as[PostingBlock]
+      .flatMap { b =>
+        val docs = graft.index.BlockCodec.decodeDeltaLongs(b.docs, b.n)
+        val tfs = graft.index.BlockCodec.decodeInts(b.tfs, b.n)
+        val dls = graft.index.BlockCodec.decodeInts(b.dls, b.n)
+        val idf = idfOf(b.termId)
+        val ti = idxOfTerm(b.termId)
+        (0 until b.n).iterator.map { i =>
+          (docs(i), ti, Bm25.addend(idf, tfs(i), dls(i), avgdl))
+        }
+      }
+      .toDF("docId", "ti", "addend")
+
+    // conjunctive intersection + deterministic fixed-order score fold
+    val candidates = addends
+      .groupBy($"docId")
+      .agg(count(lit(1)).as("nt"),
+        sort_array(collect_list(struct($"ti", $"addend"))).as("parts"))
+      .filter($"nt" === nTerms)
+      .select($"docId",
+        aggregate($"parts", lit(0.0), (acc, x) => acc + x.getField("addend"))
+          .as("score"))
+
+    // krep literal re-check on candidate text only (semi-join on docId)
+    val corpus = spark.read.parquet(ice.tablePath("corpus"))
+      .select($"docId", $"text")
+    candidates.join(corpus, "docId")
+      .filter(K.krep_contains($"text", KrepParams(Seq(phrase))))
+      .select($"docId", $"score")
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+      .as[(Long, Double)]
+      .collect()
+      .map { case (d, s) => ScoredDoc(d, s) }
+  }
+
   /** Top-k with urls resolved — the user-facing result relation. */
   def searchDf(query: String, k: Int): DataFrame = {
     val top = search(query, k)

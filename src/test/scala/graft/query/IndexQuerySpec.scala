@@ -131,6 +131,34 @@ class IndexQuerySpec extends AnyFunSuite {
     small.unpersist()
   }
 
+  test("phrase search: index candidates + krep re-check == literal-filter oracle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val engine = new QueryEngine(spark, indexRoot)
+    // independent oracle: docId rank + literal contains + full BM25 ranking
+    val ranked = graft.index.Ranker.denseIdsByKey(
+      pages.select($"url", $"text"), "url", "docId", 4)
+
+    Seq(SynthWebText.Markers(0), s"${t(0)} ${t(1)}", s"${t(2)} ${t(5)}")
+      .foreach { phrase =>
+        val phraseDocs = ranked.filter($"text".contains(phrase))
+          .select($"docId").as[Long].collect().toSet
+        val allScores = NaiveSearch.topK(spark, pages, phrase, nDocs.toInt, 4)
+        val want = allScores.filter(s => phraseDocs.contains(s.docId)).take(10)
+        val got = engine.searchPhrase(phrase, 10)
+        assert(got.map(s => (s.docId, s.score)).toSeq ==
+          want.map(s => (s.docId, s.score)).toSeq,
+          s"phrase '$phrase' diverges")
+      }
+
+    // the re-check must actually prune: conjunctive candidates ⊃ phrase hits
+    val conj = engine.search(s"${t(0)} ${t(1)}", 2000)
+    val phr = engine.searchPhrase(s"${t(0)} ${t(1)}", 2000)
+    assert(phr.length < conj.length,
+      "expected adjacency re-check to prune conjunctive candidates")
+    assert(phr.nonEmpty, "expected some true phrase hits at this corpus size")
+  }
+
   test("searchDf resolves urls and preserves rank order") {
     val engine = new QueryEngine(spark, indexRoot)
     val df = engine.searchDf(t(100), 5).collect()
