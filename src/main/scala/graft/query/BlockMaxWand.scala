@@ -5,10 +5,13 @@ import graft.index.{BlockCodec, PostingBlock}
 final case class ScoredDoc(docId: Long, score: Double)
 
 /** Block-max WAND top-k over one docId segment (the per-partition kernel of
-  * the distributed query, SURVEY.md §3.4). This is the engine analog of the
-  * reference's `-m` early termination (krep.c:1366): posting blocks whose
-  * BM25 upper bound cannot beat the current kth score are skipped without
-  * decompression.
+  * the distributed query, SURVEY.md §3.4), after the published algorithm
+  * family: Broder et al., "Efficient query evaluation using a two-level
+  * retrieval process" (CIKM 2003) and Ding & Suel, "Faster top-k document
+  * retrieval using block-max indexes" (SIGIR 2011). This is also the engine
+  * analog of the reference's `-m` early termination (krep.c:1366): posting
+  * blocks whose BM25 upper bound cannot beat the current kth score are
+  * skipped without decompression.
   *
   * Correctness contract (differentially tested against the brute-force
   * oracle): exact top-k with ties broken by docId ASC; scores summed in
