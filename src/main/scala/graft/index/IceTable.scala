@@ -47,11 +47,23 @@ final class IceTable(val root: String, conf: Configuration) {
 
   def currentSnapshotId: Option[Long] = {
     val p = new Path(root, "LATEST")
-    if (!fs.exists(p)) None
-    else {
+    if (fs.exists(p)) {
       val in = fs.open(p)
       try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
       finally in.close()
+    } else {
+      // local-fs rename cannot overwrite, so the pointer swap is
+      // delete+rename; a crash inside that window loses only the pointer —
+      // recover it from the immutable snapshot log itself
+      val dir = new Path(root, "snapshots")
+      if (!fs.exists(dir)) None
+      else {
+        val ids = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+          .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+            s.stripPrefix("snapshot-").stripSuffix(".json").toLong
+          }
+        ids.maxOption
+      }
     }
   }
 
