@@ -41,7 +41,7 @@ final class QueryEngine(spark: SparkSession, root: String,
     KrepTokenize.tokenize(UTF8String.fromString(query))
       .map(_.toString).distinct.sorted
 
-  final case class TermMeta(termIdx: Int, termId: Long, df: Long, idf: Double)
+  import QueryEngine.TermMeta
 
   /** Small dictionaries are cached on the driver after the first lookup (the
     * analog of a search node's in-memory term dictionary): term resolution
@@ -244,4 +244,8 @@ final class QueryEngine(spark: SparkSession, root: String,
       .select($"rank", $"docId", $"url", $"score")
       .orderBy($"rank")
   }
+}
+
+object QueryEngine {
+  final case class TermMeta(termIdx: Int, termId: Long, df: Long, idf: Double)
 }
