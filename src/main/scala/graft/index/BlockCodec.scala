@@ -66,6 +66,62 @@ object BlockCodec {
     buf.toByteArray
   }
 
+  /** Encode a block's per-posting position lists (each strictly increasing
+    * token ordinals) back-to-back: per list, first ordinal as-is then gap-1
+    * varints. List lengths are NOT stored — they are the block's tf values,
+    * already encoded — so positions cost only their own deltas.
+    */
+  def encodePosLists(lists: Array[Array[Int]]): Array[Byte] = {
+    var cap = 0
+    var i = 0
+    while (i < lists.length) { cap += lists(i).length * 2; i += 1 }
+    val buf = new java.io.ByteArrayOutputStream(math.max(cap, 16))
+    i = 0
+    while (i < lists.length) {
+      val xs = lists(i)
+      var prev = 0
+      var j = 0
+      while (j < xs.length) {
+        val d = if (j == 0) xs(0) else xs(j) - prev - 1
+        require(j == 0 || d >= 0, "positions must be strictly increasing")
+        writeVarLong(buf, d.toLong)
+        prev = xs(j)
+        j += 1
+      }
+      i += 1
+    }
+    buf.toByteArray
+  }
+
+  /** Decode position lists; `tfs(i)` gives the i-th list's length. */
+  def decodePosLists(bytes: Array[Byte], tfs: Array[Int]): Array[Array[Int]] = {
+    val out = new Array[Array[Int]](tfs.length)
+    var pos = 0
+    var i = 0
+    while (i < tfs.length) {
+      val xs = new Array[Int](tfs(i))
+      var prev = 0
+      var j = 0
+      while (j < xs.length) {
+        var v = 0L
+        var shift = 0
+        var b = 0
+        do {
+          b = bytes(pos) & 0xff
+          v |= (b & 0x7fL) << shift
+          shift += 7
+          pos += 1
+        } while ((b & 0x80) != 0)
+        prev = if (j == 0) v.toInt else prev + v.toInt + 1
+        xs(j) = prev
+        j += 1
+      }
+      out(i) = xs
+      i += 1
+    }
+    out
+  }
+
   def decodeInts(bytes: Array[Byte], n: Int): Array[Int] = {
     val out = new Array[Int](n)
     var pos = 0

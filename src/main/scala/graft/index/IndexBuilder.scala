@@ -23,6 +23,30 @@ final case class PostingBlock(
     tfs: Array[Byte],
     dls: Array[Byte])
 
+/** The stored posting-block row: [[PostingBlock]] plus the positional payload
+  * `poss` (per-posting token-ordinal lists, delta+varint — lengths are the tf
+  * values). Parquet is columnar, so the WAND path projects the PostingBlock
+  * columns only and never reads `poss`; the phrase path reads the full row.
+  */
+final case class PosPostingBlock(
+    termId: Long,
+    segId: Long,
+    firstDoc: Long,
+    lastDoc: Long,
+    n: Int,
+    maxTf: Int,
+    minDl: Int,
+    docs: Array[Byte],
+    tfs: Array[Byte],
+    dls: Array[Byte],
+    poss: Array[Byte])
+
+object PostingBlock {
+  /** Column list of the positions-free WAND projection. */
+  val wandColumns: Seq[String] = Seq("termId", "segId", "firstDoc", "lastDoc",
+    "n", "maxTf", "minDl", "docs", "tfs", "dls")
+}
+
 final case class IndexConfig(
     blockSize: Int = 128,
     docsPerSegment: Long = 1L << 16,
@@ -110,8 +134,9 @@ final class IndexBuilder(spark: SparkSession, root: String,
     step("tfrows", Map.empty) {
       val corpus = spark.read.parquet(ice.tablePath("corpus"))
       write(corpus
-        .select($"docId", $"dl", explode(K.krep_term_freqs($"text")).as("t"))
-        .select($"docId", $"t.term".as("term"), $"t.tf".as("tf"), $"dl"),
+        .select($"docId", $"dl", explode(K.krep_term_positions($"text")).as("t"))
+        .select($"docId", $"t.term".as("term"),
+          size($"t.pos").as("tf"), $"dl", $"t.pos".as("pos")),
         "tfrows")
     }
 
@@ -140,8 +165,9 @@ final class IndexBuilder(spark: SparkSession, root: String,
       // needs no sampling pass over the joined input. Blocks never span
       // segments, so per-term blocks stay globally mergeable sorted runs.
       val rows = tfr.join(dictJ, "term")
-        .select($"termId", $"docId", $"tf".cast("int"), $"dl".cast("int"))
-        .as[(Long, Long, Int, Int)]
+        .select($"termId", $"docId", $"tf".cast("int"), $"dl".cast("int"),
+          $"pos")
+        .as[(Long, Long, Int, Int, Array[Int])]
         .repartition(cfg.partitions, $"termId",
           floor($"docId" / cfg.docsPerSegment))
         .sortWithinPartitions($"termId", $"docId")
@@ -160,25 +186,28 @@ final class IndexBuilder(spark: SparkSession, root: String,
 }
 
 object IndexBuilder {
-  /** Encode (termId, docId, tf, dl) rows — sorted by (termId, docId) within
-    * partitions, blocks never spanning a docId segment — into compressed
-    * posting blocks. Shared by the batch build and the streaming appender.
+  /** Encode (termId, docId, tf, dl, positions) rows — sorted by (termId,
+    * docId) within partitions, blocks never spanning a docId segment — into
+    * compressed posting blocks. Shared by the batch build and the streaming
+    * appender.
     */
-  def encodeBlocks(rows: org.apache.spark.sql.Dataset[(Long, Long, Int, Int)],
+  def encodeBlocks(
+      rows: org.apache.spark.sql.Dataset[(Long, Long, Int, Int, Array[Int])],
       blockSize: Int, docsPerSegment: Long)
-      : org.apache.spark.sql.Dataset[PostingBlock] = {
+      : org.apache.spark.sql.Dataset[PosPostingBlock] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
-      new Iterator[PostingBlock] {
-        private var pending: PostingBlock = _
+      new Iterator[PosPostingBlock] {
+        private var pending: PosPostingBlock = _
         private val bufDoc = new Array[Long](blockSize)
         private val bufTf = new Array[Int](blockSize)
         private val bufDl = new Array[Int](blockSize)
+        private val bufPos = new Array[Array[Int]](blockSize)
         private var len = 0
         private var curTerm = -1L
         private var curSeg = -1L
 
-        private def flush(): PostingBlock = {
+        private def flush(): PosPostingBlock = {
           var maxTf = 0
           var minDl = Int.MaxValue
           var i = 0
@@ -187,30 +216,32 @@ object IndexBuilder {
             if (bufDl(i) < minDl) minDl = bufDl(i)
             i += 1
           }
-          val b = PostingBlock(curTerm, curSeg, bufDoc(0), bufDoc(len - 1),
+          val b = PosPostingBlock(curTerm, curSeg, bufDoc(0), bufDoc(len - 1),
             len, maxTf, minDl,
             BlockCodec.encodeDeltaLongs(java.util.Arrays.copyOf(bufDoc, len)),
             BlockCodec.encodeInts(java.util.Arrays.copyOf(bufTf, len)),
-            BlockCodec.encodeInts(java.util.Arrays.copyOf(bufDl, len)))
+            BlockCodec.encodeInts(java.util.Arrays.copyOf(bufDl, len)),
+            BlockCodec.encodePosLists(java.util.Arrays.copyOf(bufPos, len)))
           len = 0
           b
         }
 
         private def fill(): Unit = {
           while (pending == null && it.hasNext) {
-            val (termId, docId, tf, dl) = it.next()
+            val (termId, docId, tf, dl, pos) = it.next()
             val seg = docId / docsPerSegment
             if (len > 0 && (termId != curTerm || seg != curSeg || len == blockSize))
               pending = flush()
             curTerm = termId; curSeg = seg
             bufDoc(len) = docId; bufTf(len) = tf; bufDl(len) = dl
+            bufPos(len) = pos
             len += 1
           }
           if (pending == null && len > 0) pending = flush()
         }
 
         override def hasNext: Boolean = { fill(); pending != null }
-        override def next(): PostingBlock = {
+        override def next(): PosPostingBlock = {
           fill()
           val b = pending; pending = null; b
         }

@@ -195,6 +195,59 @@ object KrepTermFreqs {
   }
 }
 
+/** Per-row term positions: ARRAY<STRUCT<term STRING, pos ARRAY<INT>>> sorted
+  * by term bytes, `pos` the ascending 0-based token ordinals of each
+  * occurrence (tf == size(pos)). This is [[KrepTermFreqs]] widened with the
+  * positional payload the index needs for shuffle-free phrase search — the
+  * engine analog of the reference reporting match positions per file
+  * (krep.h:49-60) rather than just counts.
+  */
+case class KrepTermPositions(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = KrepTermPositions.schema
+  override def nullSafeEval(v: Any): Any =
+    KrepTermPositions.termPositions(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.krep.KrepTermPositions.termPositions($c)")
+  override protected def withNewChildInternal(c: Expression): KrepTermPositions =
+    copy(child = c)
+  override def prettyName: String = "krep_term_positions"
+}
+object KrepTermPositions {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("pos", ArrayType(IntegerType, containsNull = false),
+      nullable = false))), containsNull = false)
+
+  def termPositions(s: UTF8String): GenericArrayData = {
+    val toks = KrepTokenize.tokenize(s)
+    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
+    // argsort by (term bytes, ordinal): runs give (term, ascending positions)
+    val idx = new Array[Integer](toks.length)
+    var i = 0
+    while (i < toks.length) { idx(i) = i; i += 1 }
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
+      val c = toks(a).compareTo(toks(b))
+      if (c != 0) c else Integer.compare(a, b)
+    })
+    val rows = new java.util.ArrayList[Any](toks.length / 2 + 1)
+    var runStart = 0
+    i = 1
+    while (i <= toks.length) {
+      if (i == toks.length || toks(idx(i)).compareTo(toks(idx(runStart))) != 0) {
+        val ps = new Array[Int](i - runStart)
+        var j = runStart
+        while (j < i) { ps(j - runStart) = idx(j); j += 1 }
+        rows.add(org.apache.spark.sql.catalyst.InternalRow(
+          toks(idx(runStart)), new GenericArrayData(ps)))
+        runStart = i
+      }
+      i += 1
+    }
+    new GenericArrayData(rows.toArray)
+  }
+}
+
 /** Column-API surface (the engine's user-facing DSL). */
 object functions {
   private def col(e: Expression): Column = GraftSqlBridge.column(e)
@@ -208,6 +261,7 @@ object functions {
   def ascii_lower(c: Column): Column = col(AsciiLower(ex(c)))
   def krep_tokenize(c: Column): Column = col(KrepTokenize(ex(c)))
   def krep_term_freqs(c: Column): Column = col(KrepTermFreqs(ex(c)))
+  def krep_term_positions(c: Column): Column = col(KrepTermPositions(ex(c)))
 
   // convenience single-literal forms
   def krep_contains(c: Column, pattern: String): Column =

@@ -3,7 +3,7 @@ package graft.query
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.index.{IceTable, IndexStats, PostingBlock}
+import graft.index.{IceTable, IndexStats, PosPostingBlock, PostingBlock}
 import graft.krep.KrepTokenize
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -62,7 +62,11 @@ final class QueryEngine(spark: SparkSession, root: String,
     */
   private val cacheBlocksThreshold = 20000000L // block rows
   @transient private lazy val postingsDs: org.apache.spark.sql.DataFrame = {
+    // project the WAND columns only: parquet is columnar, so the positional
+    // payload (`poss`, roughly the size of the docId deltas) is never read
+    // on the top-k path
     val raw = spark.read.parquet(ice.tablePath("postings"))
+      .select(PostingBlock.wandColumns.map(c => $"$c"): _*)
     if (ice.completedSteps("postings").rowCount <= cacheBlocksThreshold) {
       val cached = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached.count() // materialize once
@@ -78,7 +82,15 @@ final class QueryEngine(spark: SparkSession, root: String,
     * 10^12-doc route.
     */
   @transient private lazy val driverBlocks: Map[Long, Array[PostingBlock]] = {
-    spark.read.parquet(ice.tablePath("postings")).as[PostingBlock]
+    spark.read.parquet(ice.tablePath("postings"))
+      .select(PostingBlock.wandColumns.map(c => $"$c"): _*).as[PostingBlock]
+      .collect().groupBy(_.termId)
+  }
+  /** Phrase-path twin of [[driverBlocks]]: full rows including positions.
+    * Loaded lazily, only if a phrase query runs on a driver-cacheable index.
+    */
+  @transient private lazy val driverPosBlocks: Map[Long, Array[PosPostingBlock]] = {
+    spark.read.parquet(ice.tablePath("postings")).as[PosPostingBlock]
       .collect().groupBy(_.termId)
   }
   private def driverCacheable: Boolean =
@@ -174,62 +186,98 @@ final class QueryEngine(spark: SparkSession, root: String,
     }
   }
 
-  /** Exact phrase search (SURVEY.md §3.4: index candidates + krep re-check):
+  /** Exact phrase search (SURVEY.md §3.4), positional-index path:
     *
-    *  1. conjunctive candidates from the index — decode only the phrase
-    *     terms' posting blocks, keep docIds carrying ALL terms (posting-list
-    *     intersection), scoring addends as we go;
-    *  2. re-check the byte-exact phrase with the krep literal matcher
-    *     against the corpus text of the candidates only (a pruned semi-join,
-    *     never a corpus scan);
+    *  1. positional candidates from the index alone — per-segment zipper
+    *     intersection over the phrase terms' posting cursors, keeping only
+    *     docs where the tokens sit at consecutive token ordinals
+    *     ([[PhraseSearch]]). No per-posting shuffle: the only exchange moves
+    *     compressed blocks grouped by segment, and only on the distributed
+    *     strategy.
+    *  2. byte-exact literal re-check (reference memcmp semantics,
+    *     krep.c:1312) against the corpus text of the POSITIONAL candidates
+    *     only — point lookups via docId pushdown (the corpus is written in
+    *     docId order), proportional to true phrase hits, never to a hot
+    *     term's posting count. This catches case/separator mismatches that
+    *     token adjacency admits (e.g. sentence-capitalized first words).
     *  3. BM25 order (score DESC, docId ASC), top-k.
     */
   def searchPhrase(phrase: String, k: Int): Array[ScoredDoc] = {
     import graft.krep.{KrepParams, functions => K}
-    val metas = lookupTerms(canonicalTerms(phrase))
-    val nTerms = canonicalTerms(phrase).length
-    if (metas.length < nTerms) return Array.empty // some term absent → no doc has all
+    val phraseToks = KrepTokenize.tokenize(UTF8String.fromString(phrase))
+      .map(_.toString)
+    if (phraseToks.isEmpty) return Array.empty
+    val terms = canonicalTerms(phrase)
+    val metas = lookupTerms(terms)
+    if (metas.length < terms.length) return Array.empty // a term is absent
     val ids = metas.map(_.termId)
-    val idfOf = metas.map(m => m.termId -> m.idf).toMap
+    val slotOfTermId = metas.map(m => m.termId -> m.termIdx).toMap
+    val nSlots = terms.length
+    val slotOfTerm = terms.zipWithIndex.toMap
+    val slotOffsets: Array[Array[Int]] = {
+      val bufs = Array.fill(nSlots)(Vector.newBuilder[Int])
+      phraseToks.zipWithIndex.foreach { case (t, i) => bufs(slotOfTerm(t)) += i }
+      bufs.map(_.result().toArray)
+    }
+    val idfs = new Array[Double](nSlots)
+    metas.foreach(m => idfs(m.termIdx) = m.idf)
     val avgdl = stats.avgdl
-    val idxOfTerm = metas.map(m => m.termId -> m.termIdx).toMap
 
-    // decode postings of the phrase terms into (docId, termIdx, addend)
-    val addends = spark.read.parquet(ice.tablePath("postings"))
-      .filter($"termId".isin(ids.toSeq: _*))
-      .as[PostingBlock]
-      .flatMap { b =>
-        val docs = graft.index.BlockCodec.decodeDeltaLongs(b.docs, b.n)
-        val tfs = graft.index.BlockCodec.decodeInts(b.tfs, b.n)
-        val dls = graft.index.BlockCodec.decodeInts(b.dls, b.n)
-        val idf = idfOf(b.termId)
-        val ti = idxOfTerm(b.termId)
-        (0 until b.n).iterator.map { i =>
-          (docs(i), ti, Bm25.addend(idf, tfs(i), dls(i), avgdl))
-        }
+    def segMatches(segBlocks: Iterator[PosPostingBlock]): Iterator[(Long, Double)] = {
+      val bySlot = Array.fill(nSlots)(Vector.empty[PosPostingBlock])
+      segBlocks.foreach { b =>
+        val s = slotOfTermId(b.termId)
+        bySlot(s) = bySlot(s) :+ b
       }
-      .toDF("docId", "ti", "addend")
+      PhraseSearch.segmentMatches(bySlot.map(_.sortBy(_.firstDoc).toArray),
+        slotOffsets, idfs, avgdl)
+    }
 
-    // conjunctive intersection + deterministic fixed-order score fold
-    val candidates = addends
-      .groupBy($"docId")
-      .agg(count(lit(1)).as("nt"),
-        sort_array(collect_list(struct($"ti", $"addend"))).as("parts"))
-      .filter($"nt" === nTerms)
-      .select($"docId",
-        aggregate($"parts", lit(0.0), (acc, x) => acc + x.getField("addend"))
-          .as("score"))
+    def posBlocksScan = spark.read.parquet(ice.tablePath("postings"))
+      .filter($"termId".isin(ids.toSeq: _*))
+      .as[PosPostingBlock]
 
-    // krep literal re-check on candidate text only (semi-join on docId)
+    // same three physical strategies as search(), same selection logic
+    val candidates: Array[(Long, Double)] =
+      if (driverCacheable) {
+        metas.iterator
+          .flatMap(m => driverPosBlocks.getOrElse(m.termId,
+            Array.empty[PosPostingBlock]))
+          .toArray.groupBy(_.segId).iterator
+          .flatMap { case (_, bs) => segMatches(bs.iterator) }
+          .toArray
+      } else if (metas.map(_.df).sum <= localPostingsThreshold) {
+        posBlocksScan.collect().groupBy(_.segId).iterator
+          .flatMap { case (_, bs) => segMatches(bs.iterator) }
+          .toArray
+      } else {
+        posBlocksScan
+          .groupByKey(_.segId)
+          .flatMapGroups((_, it) => segMatches(it))
+          .collect()
+      }
+    if (candidates.isEmpty) return Array.empty
+
+    // literal re-check, pruned to the candidates
     val corpus = spark.read.parquet(ice.tablePath("corpus"))
       .select($"docId", $"text")
-    candidates.join(corpus, "docId")
-      .filter(K.krep_contains($"text", KrepParams(Seq(phrase))))
-      .select($"docId", $"score")
-      .orderBy($"score".desc, $"docId".asc)
-      .limit(k)
-      .as[(Long, Double)]
-      .collect()
+    val literal = K.krep_contains($"text", KrepParams(Seq(phrase)))
+    val confirmed: Set[Long] =
+      if (candidates.length <= 5000) {
+        // docId IN (...) pushes into the parquet scan: the corpus is written
+        // in docId order, so this reads a handful of row groups
+        corpus.filter($"docId".isin(candidates.map(_._1).toSeq: _*))
+          .filter(literal).select($"docId").as[Long].collect().toSet
+      } else {
+        // larger candidate sets: distributed equi-join on docId — work
+        // proportional to candidates, not corpus
+        val candDf = candidates.map(_._1).toSeq.toDF("docId")
+        corpus.join(candDf, "docId")
+          .filter(literal).select($"docId").as[Long].collect().toSet
+      }
+    candidates.filter(c => confirmed(c._1))
+      .sortBy(c => (-c._2, c._1))
+      .take(k)
       .map { case (d, s) => ScoredDoc(d, s) }
   }
 

@@ -65,8 +65,9 @@ final class StreamingIndexer(spark: SparkSession, root: String,
       .write.mode(SaveMode.Append).parquet(docsPath)
 
     val tfDelta = corpusDelta
-      .select($"docId", $"dl", explode(K.krep_term_freqs($"text")).as("t"))
-      .select($"docId", $"t.term".as("term"), $"t.tf".as("tf"), $"dl")
+      .select($"docId", $"dl", explode(K.krep_term_positions($"text")).as("t"))
+      .select($"docId", $"t.term".as("term"),
+        size($"t.pos").as("tf"), $"dl", $"t.pos".as("pos"))
     tfDelta.write.mode(SaveMode.Append).parquet(ice.tablePath("tfrows"))
 
     // dict: merge delta df/cf into existing entries; brand-new terms extend
@@ -97,8 +98,8 @@ final class StreamingIndexer(spark: SparkSession, root: String,
     // postings delta: same shape as the batch build, appended
     val dictJ = broadcast(spark.read.parquet(dictPath).select($"termId", $"term"))
     val rows = tfDelta.join(dictJ, "term")
-      .select($"termId", $"docId", $"tf".cast("int"), $"dl".cast("int"))
-      .as[(Long, Long, Int, Int)]
+      .select($"termId", $"docId", $"tf".cast("int"), $"dl".cast("int"), $"pos")
+      .as[(Long, Long, Int, Int, Array[Int])]
       .repartition(cfg.partitions, $"termId", floor($"docId" / cfg.docsPerSegment))
       .sortWithinPartitions($"termId", $"docId")
     IndexBuilder.encodeBlocks(rows, cfg.blockSize, cfg.docsPerSegment)
