@@ -89,14 +89,40 @@ final class IceTable(val root: String, conf: Configuration) {
       out
   }
 
+  /** Absolute data-file paths of `table` as committed in the current
+    * snapshot — the ONLY files a reader may see. Files written by an
+    * in-flight (or crashed) append live in the same table directory but are
+    * invisible until a snapshot lists them.
+    */
+  def snapshotFiles(table: String): Seq[String] =
+    completedSteps.get(table).toSeq
+      .flatMap(s => s.files.map { case (name, _) => s"${s.table}/$name" })
+
+  /** Snapshot-isolated read of a committed table: loads exactly the file
+    * list the current snapshot recorded (never a live directory listing).
+    * Falls back to the directory for a committed-but-empty table, where the
+    * parquet footer in the directory carries the schema.
+    */
+  def readTable(spark: org.apache.spark.sql.SparkSession, name: String)
+      : org.apache.spark.sql.DataFrame = {
+    val files = snapshotFiles(name)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else spark.read.parquet(tablePath(name))
+  }
+
   /** Commit a step: new snapshot = parent steps ± this step, written to the
     * log, then the LATEST pointer swapped via atomic rename. Readers see
     * either the old or the new snapshot, never a partial one.
     */
-  def commitStep(step: StepInfo): Long = {
+  def commitStep(step: StepInfo): Long = commitSteps(Seq(step))
+
+  /** Commit several steps in ONE atomic snapshot — the streaming appender's
+    * unit of visibility: either every table reflects the batch or none does.
+    */
+  def commitSteps(newSteps: Seq[StepInfo]): Long = {
     val parent = currentSnapshotId
     val newId = parent.getOrElse(-1L) + 1L
-    val steps = completedSteps + (step.name -> step)
+    val steps = newSteps.foldLeft(completedSteps)((m, s) => m + (s.name -> s))
 
     val rootNode: ObjectNode = mapper.createObjectNode()
     rootNode.put("snapshotId", newId)
@@ -142,6 +168,23 @@ final class IceTable(val root: String, conf: Configuration) {
       .map { s =>
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(s.getPath, conf))
         try (s.getPath.getName, r.getRecordCount)
+        finally r.close()
+      }
+  }
+
+  /** Lineage of the files inside `tablePath(table)/subdir`, names relative to
+    * the table path ("subdir/part-*.parquet") — how a streaming batch records
+    * exactly the immutable files it just wrote, never the whole directory
+    * (which may hold orphans from a crashed earlier attempt).
+    */
+  def parquetLineageIn(table: String, subdir: String): Seq[(String, Long)] = {
+    val dir = new Path(tablePath(table), subdir)
+    fs.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map { s =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(s.getPath, conf))
+        try (s"$subdir/${s.getPath.getName}", r.getRecordCount)
         finally r.close()
       }
   }

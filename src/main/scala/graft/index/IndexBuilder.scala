@@ -118,7 +118,7 @@ final class IndexBuilder(spark: SparkSession, root: String,
     }
 
     step("docs", Map.empty) {
-      write(spark.read.parquet(ice.tablePath("corpus"))
+      write(ice.readTable(spark, "corpus")
         .select($"docId", $"url", $"dl"), "docs")
     }
 
@@ -126,13 +126,13 @@ final class IndexBuilder(spark: SparkSession, root: String,
       val s = loadStats()
       Map("n" -> s.n.toString, "avgdl" -> s.avgdl.toString)
     }) {
-      val docs = spark.read.parquet(ice.tablePath("docs"))
+      val docs = ice.readTable(spark, "docs")
       write(docs.agg(count("*").as("n"),
         coalesce(avg("dl"), lit(0.0)).as("avgdl")), "stats")
     }
 
     step("tfrows", Map.empty) {
-      val corpus = spark.read.parquet(ice.tablePath("corpus"))
+      val corpus = ice.readTable(spark, "corpus")
       write(corpus
         .select($"docId", $"dl", explode(K.krep_term_positions($"text")).as("t"))
         .select($"docId", $"t.term".as("term"),
@@ -141,7 +141,7 @@ final class IndexBuilder(spark: SparkSession, root: String,
     }
 
     step("dict", Map("orderedBy" -> "term")) {
-      val tfr = spark.read.parquet(ice.tablePath("tfrows"))
+      val tfr = ice.readTable(spark, "tfrows")
       val grouped = tfr.groupBy($"term")
         .agg(count("*").as("df"), sum($"tf").as("cf"))
       write(Ranker.denseIdsByKey(grouped, "term", "termId", cfg.partitions)
@@ -151,8 +151,8 @@ final class IndexBuilder(spark: SparkSession, root: String,
     step("postings", Map(
       "blockSize" -> cfg.blockSize.toString,
       "docsPerSegment" -> cfg.docsPerSegment.toString)) {
-      val tfr = spark.read.parquet(ice.tablePath("tfrows"))
-      val dictDf = spark.read.parquet(ice.tablePath("dict"))
+      val tfr = ice.readTable(spark, "tfrows")
+      val dictDf = ice.readTable(spark, "dict")
         .select($"termId", $"term")
       // row count comes from the committed dict lineage — no extra job
       val dictRows = ice.completedSteps("dict").rowCount
@@ -180,7 +180,7 @@ final class IndexBuilder(spark: SparkSession, root: String,
   }
 
   def loadStats(): IndexStats = {
-    val r = spark.read.parquet(ice.tablePath("stats")).head()
+    val r = ice.readTable(spark, "stats").head()
     IndexStats(r.getLong(0), r.getDouble(1))
   }
 }

@@ -30,7 +30,7 @@ final class QueryEngine(spark: SparkSession, root: String,
 
   private val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
   val stats: IndexStats = {
-    val r = spark.read.parquet(ice.tablePath("stats")).head()
+    val r = ice.readTable(spark, "stats").head()
     IndexStats(r.getLong(0), r.getDouble(1))
   }
 
@@ -65,7 +65,7 @@ final class QueryEngine(spark: SparkSession, root: String,
     // project the WAND columns only: parquet is columnar, so the positional
     // payload (`poss`, roughly the size of the docId deltas) is never read
     // on the top-k path
-    val raw = spark.read.parquet(ice.tablePath("postings"))
+    val raw = ice.readTable(spark, "postings")
       .select(PostingBlock.wandColumns.map(c => $"$c"): _*)
     if (ice.completedSteps("postings").rowCount <= cacheBlocksThreshold) {
       val cached = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -82,7 +82,7 @@ final class QueryEngine(spark: SparkSession, root: String,
     * 10^12-doc route.
     */
   @transient private lazy val driverBlocks: Map[Long, Array[PostingBlock]] = {
-    spark.read.parquet(ice.tablePath("postings"))
+    ice.readTable(spark, "postings")
       .select(PostingBlock.wandColumns.map(c => $"$c"): _*).as[PostingBlock]
       .collect().groupBy(_.termId)
   }
@@ -90,7 +90,7 @@ final class QueryEngine(spark: SparkSession, root: String,
     * Loaded lazily, only if a phrase query runs on a driver-cacheable index.
     */
   @transient private lazy val driverPosBlocks: Map[Long, Array[PosPostingBlock]] = {
-    spark.read.parquet(ice.tablePath("postings")).as[PosPostingBlock]
+    ice.readTable(spark, "postings").as[PosPostingBlock]
       .collect().groupBy(_.termId)
   }
   private def driverCacheable: Boolean =
@@ -102,14 +102,14 @@ final class QueryEngine(spark: SparkSession, root: String,
       if (dictRowCount <= dictCacheThreshold) {
         if (dictCache == null) synchronized {
           if (dictCache == null) {
-            dictCache = spark.read.parquet(ice.tablePath("dict"))
+            dictCache = ice.readTable(spark, "dict")
               .select($"term", $"termId", $"df").collect()
               .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
           }
         }
         dictCache.get
       } else {
-        val rows = spark.read.parquet(ice.tablePath("dict"))
+        val rows = ice.readTable(spark, "dict")
           .filter($"term".isin(terms.toSeq: _*))
           .select($"term", $"termId", $"df")
           .collect()
@@ -233,7 +233,7 @@ final class QueryEngine(spark: SparkSession, root: String,
         slotOffsets, idfs, avgdl)
     }
 
-    def posBlocksScan = spark.read.parquet(ice.tablePath("postings"))
+    def posBlocksScan = ice.readTable(spark, "postings")
       .filter($"termId".isin(ids.toSeq: _*))
       .as[PosPostingBlock]
 
@@ -259,7 +259,7 @@ final class QueryEngine(spark: SparkSession, root: String,
     if (candidates.isEmpty) return Array.empty
 
     // literal re-check, pruned to the candidates
-    val corpus = spark.read.parquet(ice.tablePath("corpus"))
+    val corpus = ice.readTable(spark, "corpus")
       .select($"docId", $"text")
     val literal = K.krep_contains($"text", KrepParams(Seq(phrase)))
     val confirmed: Set[Long] =
@@ -287,7 +287,7 @@ final class QueryEngine(spark: SparkSession, root: String,
     val topDf = spark.createDataFrame(
       top.toSeq.zipWithIndex.map { case (s, r) => (r + 1, s.docId, s.score) })
       .toDF("rank", "docId", "score")
-    val docs = spark.read.parquet(ice.tablePath("docs"))
+    val docs = ice.readTable(spark, "docs")
     docs.join(broadcast(topDf), "docId")
       .select($"rank", $"docId", $"url", $"score")
       .orderBy($"rank")

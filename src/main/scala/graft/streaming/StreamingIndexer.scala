@@ -38,17 +38,35 @@ final class StreamingIndexer(spark: SparkSession, root: String,
     }
   }
 
-  /** Append one batch of pages. Idempotent per batch content: urls already
-    * in the index are dropped (exactly-once per url under redelivery).
+  /** Append one batch of pages — crash-atomic and idempotent.
+    *
+    * Every write lands in a fresh immutable subdirectory of its table
+    * (`<table>/b<snapId>-<uuid>/`); nothing committed is ever rewritten in
+    * place (dict and stats get whole new VERSIONS, not overwrites). The batch
+    * becomes visible in ONE [[IceTable.commitSteps]] snapshot at the very
+    * end: a crash at any earlier point leaves only orphan files that no
+    * snapshot references, so concurrent readers keep answering from the old
+    * snapshot and a retry — whose url anti-join reads the COMMITTED docs, not
+    * the directory — re-processes the batch cleanly (exactly-once per url
+    * under redelivery).
+    *
+    * `crashBefore` injects a failure before the named point ("dict",
+    * "commit") for the atomicity tests.
     */
-  def appendBatch(batch: Dataset[Page]): Unit = synchronized {
+  def appendBatch(batch: Dataset[Page], crashBefore: Option[String] = None)
+      : Unit = synchronized {
     ensureInitialized()
-    val docsPath = ice.tablePath("docs")
-    val existingDocs = spark.read.parquet(docsPath)
-    val baseN = ice.completedSteps("docs").rowCount
-    val maxTermId = ice.completedSteps("dict").rowCount // termIds are 0-based dense
+    val steps = ice.completedSteps
+    val baseN = steps("docs").rowCount
+    val maxTermId = steps("dict").rowCount // termIds are 0-based dense
+    val tag = s"b${ice.currentSnapshotId.getOrElse(0L)}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    def crash(point: String): Unit =
+      if (crashBefore.contains(point))
+        throw new RuntimeException(s"injected crash before $point")
 
-    // dedupe within batch and against the index (left anti join on url)
+    // dedupe within batch and against the COMMITTED index (anti join on url)
+    val existingDocs = ice.readTable(spark, "docs")
     val fresh = batch.dropDuplicates("url")
       .join(existingDocs.select($"url"), Seq("url"), "left_anti")
       .select($"url", $"text")
@@ -58,25 +76,29 @@ final class StreamingIndexer(spark: SparkSession, root: String,
     val ranked = Ranker.denseIdsByKey(fresh, "url", "batchRank", cfg.partitions)
       .withColumn("docId", $"batchRank" + lit(baseN)).drop("batchRank")
 
+    def deltaDir(table: String): String = s"${ice.tablePath(table)}/$tag"
+
     val corpusDelta = ranked.select($"docId", $"url",
       size(K.krep_tokenize($"text")).as("dl"), $"text")
-    corpusDelta.write.mode(SaveMode.Append).parquet(ice.tablePath("corpus"))
-    corpusDelta.select($"docId", $"url", $"dl")
-      .write.mode(SaveMode.Append).parquet(docsPath)
+    corpusDelta.write.parquet(deltaDir("corpus"))
+    // read the delta back once: corpus/docs/tfrows/postings all derive from it
+    val corpusDeltaC = spark.read.parquet(deltaDir("corpus"))
+    corpusDeltaC.select($"docId", $"url", $"dl").write.parquet(deltaDir("docs"))
 
-    val tfDelta = corpusDelta
+    val tfDelta = corpusDeltaC
       .select($"docId", $"dl", explode(K.krep_term_positions($"text")).as("t"))
       .select($"docId", $"t.term".as("term"),
         size($"t.pos").as("tf"), $"dl", $"t.pos".as("pos"))
-    tfDelta.write.mode(SaveMode.Append).parquet(ice.tablePath("tfrows"))
+    tfDelta.write.parquet(deltaDir("tfrows"))
+    val tfDeltaC = spark.read.parquet(deltaDir("tfrows"))
 
-    // dict: merge delta df/cf into existing entries; brand-new terms extend
-    // the dense termId range (rank over new terms). dict is tiny relative to
-    // the corpus — the only table rewritten per batch.
-    val dictPath = ice.tablePath("dict")
-    val oldDict = spark.read.parquet(dictPath)
-      .select($"termId", $"term", $"df", $"cf").cache()
-    val deltaAgg = tfDelta.groupBy($"term")
+    crash("dict")
+    // dict: merge delta df/cf into committed entries; brand-new terms extend
+    // the dense termId range. The merged dict is a NEW version directory —
+    // the committed one stays untouched for old-snapshot readers.
+    val oldDict = ice.readTable(spark, "dict")
+      .select($"termId", $"term", $"df", $"cf")
+    val deltaAgg = tfDeltaC.groupBy($"term")
       .agg(count(lit(1)).as("ddf"), sum($"tf").as("dcf"))
     val merged = oldDict.join(deltaAgg, Seq("term"), "full_outer")
     val known = merged.filter($"termId".isNotNull)
@@ -88,36 +110,42 @@ final class StreamingIndexer(spark: SparkSession, root: String,
       "term", "newRank", cfg.partitions)
       .select(($"newRank" + lit(maxTermId)).as("termId"), $"term",
         $"ddf".as("df"), $"dcf".as("cf"))
-    val newDict = known.unionByName(newTerms).cache()
-    newDict.count() // materialize before overwriting the source
-    newDict.write.mode(SaveMode.Overwrite).parquet(dictPath + ".tmp")
-    spark.read.parquet(dictPath + ".tmp").write.mode(SaveMode.Overwrite)
-      .parquet(dictPath)
-    oldDict.unpersist(); newDict.unpersist()
+    known.unionByName(newTerms).write.parquet(deltaDir("dict"))
 
-    // postings delta: same shape as the batch build, appended
-    val dictJ = broadcast(spark.read.parquet(dictPath).select($"termId", $"term"))
-    val rows = tfDelta.join(dictJ, "term")
+    // postings delta: same shape as the batch build, new immutable files
+    val dictJ = broadcast(spark.read.parquet(deltaDir("dict"))
+      .select($"termId", $"term"))
+    val rows = tfDeltaC.join(dictJ, "term")
       .select($"termId", $"docId", $"tf".cast("int"), $"dl".cast("int"), $"pos")
       .as[(Long, Long, Int, Int, Array[Int])]
       .repartition(cfg.partitions, $"termId", floor($"docId" / cfg.docsPerSegment))
       .sortWithinPartitions($"termId", $"docId")
     IndexBuilder.encodeBlocks(rows, cfg.blockSize, cfg.docsPerSegment)
-      .toDF().write.mode(SaveMode.Append).parquet(ice.tablePath("postings"))
+      .toDF().write.parquet(deltaDir("postings"))
 
-    // stats + atomic snapshot commit (per-partition lineage rederived from
-    // the committed files, so it stays correct across appends)
-    val docsNow = spark.read.parquet(docsPath)
-    docsNow.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))
-      .write.mode(SaveMode.Overwrite).parquet(ice.tablePath("stats") + ".tmp")
-    spark.read.parquet(ice.tablePath("stats") + ".tmp")
-      .write.mode(SaveMode.Overwrite).parquet(ice.tablePath("stats"))
+    // stats: committed docs ∪ this delta — a new version directory
+    ice.readTable(spark, "docs").select($"dl")
+      .unionByName(corpusDeltaC.select($"dl"))
+      .agg(count(lit(1)).as("n"), coalesce(avg($"dl"), lit(0.0)).as("avgdl"))
+      .write.parquet(deltaDir("stats"))
 
-    Seq("corpus", "docs", "tfrows", "dict", "postings", "stats").foreach { t =>
-      val lineage = ice.parquetLineage(t)
-      ice.commitStep(StepInfo(t, ice.tablePath(t),
-        lineage.map(_._2).sum, lineage, Map("appended" -> "true")))
+    crash("commit")
+    // ONE atomic snapshot: append tables keep their committed files + the
+    // batch's; versioned tables (dict, stats) list only the new version
+    def lineage(t: String) = ice.parquetLineageIn(t, tag)
+    def appended(t: String): StepInfo = {
+      val files = steps(t).files ++ lineage(t)
+      StepInfo(t, ice.tablePath(t), files.map(_._2).sum, files,
+        Map("appended" -> "true"))
     }
+    def versioned(t: String): StepInfo = {
+      val files = lineage(t)
+      StepInfo(t, ice.tablePath(t), files.map(_._2).sum, files,
+        Map("version" -> tag))
+    }
+    ice.commitSteps(Seq(appended("corpus"), appended("docs"),
+      appended("tfrows"), versioned("dict"), appended("postings"),
+      versioned("stats")))
   }
 
   /** Continuous ingestion from a parquet directory of Page rows. */

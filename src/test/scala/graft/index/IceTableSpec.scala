@@ -31,6 +31,18 @@ class IceTableSpec extends AnyFunSuite {
     assert(ice.completedSteps("a").table == "pa2")
   }
 
+  test("commitSteps publishes several steps in ONE snapshot") {
+    val ice = table()
+    ice.commitStep(StepInfo("a", "pa", 1, Seq(("f1", 1)), Map.empty))
+    ice.commitSteps(Seq(
+      StepInfo("a", "pa", 3, Seq(("f1", 1), ("f2", 2)), Map.empty),
+      StepInfo("b", "pb", 5, Seq(("g1", 5)), Map.empty)))
+    assert(ice.currentSnapshotId.contains(1L), "one snapshot for the batch")
+    assert(ice.completedSteps("a").rowCount == 3)
+    assert(ice.completedSteps("b").rowCount == 5)
+    assert(ice.snapshotFiles("a") == Seq("pa/f1", "pa/f2"))
+  }
+
   test("lost LATEST pointer is recovered from the snapshot log") {
     val ice = table()
     ice.commitStep(StepInfo("a", "pa", 1, Nil, Map.empty))

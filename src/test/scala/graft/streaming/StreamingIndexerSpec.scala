@@ -52,6 +52,58 @@ class StreamingIndexerSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("crashed appends are invisible to readers; retry converges without duplicates") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-crash-").toString
+    val indexer = new StreamingIndexer(spark, root, cfg)
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi, 1, 2).map(i => SynthWebText.page(i))
+
+    indexer.appendBatch(batch(0L, 300L))
+    val q = s"${t(0)} ${t(3)}"
+    def snapshotAnswer() = resultsByUrl(root, q, 10)
+    val before = snapshotAnswer()
+    val ice = new graft.index.IceTable(root,
+      spark.sparkContext.hadoopConfiguration)
+    val snapBefore = ice.currentSnapshotId
+
+    // crash after the corpus/docs/tfrows deltas are written, before dict
+    val e1 = intercept[RuntimeException] {
+      indexer.appendBatch(batch(300L, 600L), crashBefore = Some("dict"))
+    }
+    assert(e1.getMessage.contains("injected crash"))
+    assert(ice.currentSnapshotId == snapBefore, "no snapshot was committed")
+    assert(snapshotAnswer() == before,
+      "reader sees a half-appended batch after a pre-dict crash")
+
+    // crash after EVERY table (incl. the new dict/stats versions) is written,
+    // one instruction before the atomic commit
+    val e2 = intercept[RuntimeException] {
+      indexer.appendBatch(batch(300L, 600L), crashBefore = Some("commit"))
+    }
+    assert(e2.getMessage.contains("injected crash"))
+    assert(ice.currentSnapshotId == snapBefore)
+    assert(snapshotAnswer() == before,
+      "reader sees uncommitted files after a pre-commit crash")
+
+    // retry converges: same results as a clean streaming build of 0..600,
+    // no duplicate urls, exact committed row counts (orphans stay invisible)
+    indexer.appendBatch(batch(300L, 600L))
+    assert(ice.completedSteps("docs").rowCount == 600L)
+    val docs = ice.readTable(spark, "docs")
+    assert(docs.count() == 600L)
+    assert(docs.select($"url").distinct().count() == 600L)
+
+    val cleanRoot = Files.createTempDirectory("graft-cleanstream-").toString
+    val clean = new StreamingIndexer(spark, cleanRoot, cfg)
+    clean.appendBatch(batch(0L, 300L))
+    clean.appendBatch(batch(300L, 600L))
+    Seq(t(0), s"${t(3)} ${t(7)}", SynthWebText.Markers(0)).foreach { qq =>
+      assert(resultsByUrl(root, qq, 15) == resultsByUrl(cleanRoot, qq, 15),
+        s"post-crash retry diverges on '$qq'")
+    }
+  }
+
   test("readStream → watermark → dropDuplicates → foreachBatch end-to-end") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft-in-").toString
