@@ -128,6 +128,58 @@ object EntryQueries {
           explode(K.krep_regex_extract($"props", "[0-9]+")).as("tok"))
         .orderBy($"event_id", $"tok")
     }),
+    "krep_positions" -> ((s, dir) => { // the signature positions operator (§2.9)
+      import s.implicits._
+      t(s, dir, "part")
+        .select($"p_partkey",
+          explode(K.krep_positions($"p_name", KrepParams(Seq("an")))).as("m"))
+        .select($"p_partkey", $"m.start".as("st"), $"m.end".as("en"))
+        .orderBy($"p_partkey", $"st")
+    }),
+    "krep_extract_ln" -> ((s, dir) => { // -o with grep-style line numbers (P6)
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", explode(K.krep_extract_lines(
+          regexp_replace($"text", "table", "\n"),
+          KrepParams(Seq("value")))).as("m"))
+        .groupBy($"doc_id", $"m.ln".as("ln"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"doc_id", $"ln")
+    }),
+    "binary_prune" -> ((s, dir) => { // NUL-in-first-1024-bytes gate (S8)
+      import s.implicits._
+      // plant one NUL at a content-dependent byte offset; the gate must fire
+      // exactly when that offset lands inside both the text and the 1 KiB
+      // check window (independently mirrored by the oracle's arithmetic)
+      val pos = (pmod($"doc_id" * 37, lit(2048)) + 1).cast("int")
+      t(s, dir, "documents")
+        .select($"doc_id", encode(
+          when(pos <= length($"text"), overlay($"text", lit("\u0000"), pos))
+            .otherwise($"text"), "UTF-8").as("payload"))
+        .filter(K.krep_is_binary($"payload"))
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+    "prune_extensions" -> ((s, dir) => { // extension + .min. pruning (S7)
+      import s.implicits._
+      val exts = array(lit(".scala"), lit(".log"), lit(".md"), lit(".jpg"),
+        lit(".txt"), lit(".min.js"), lit(".py"), lit(".zip"))
+      val name = concat(lit("f"), $"doc_id".cast("string"),
+        element_at(exts, ($"doc_id" % 8 + 1).cast("int")))
+      t(s, dir, "documents")
+        .select($"doc_id", name.as("name"))
+        .filter(!K.krep_skip_name($"name"))
+        .orderBy($"doc_id")
+    }),
+    "gitignore_prune" -> ((s, dir) => { // gitignore semantics (S9)
+      import s.implicits._
+      val names = array(lit("error.log"), lit("keep.log"), lit("tmpcache"),
+        lit("data1"), lit("main.scala"), lit("readme.md"))
+      val name = element_at(names, ($"doc_id" % 6 + 1).cast("int"))
+      t(s, dir, "documents").select($"doc_id", name.as("name"))
+        .filter(!K.gitignore_ignored($"name",
+          Seq("*.log", "!keep*.log", "tmp*", "data?")))
+        .orderBy($"doc_id")
+    }),
     "krep_exists" -> ((s, dir) => { // exit-status boolean aggregate (A4)
       import s.implicits._
       t(s, dir, "documents").agg(
@@ -368,6 +420,38 @@ object EntryQueries {
       "krep_regex_extract" ->
         """SELECT event_id, unnest(regexp_extract_all(props,'[0-9]+')) AS tok
           |FROM events ORDER BY event_id, tok""".stripMargin,
+      "krep_positions" ->
+        """SELECT p_partkey, CAST(u - 1 AS INTEGER) AS st, CAST(u + 1 AS INTEGER) AS en
+          |FROM (SELECT p_partkey, unnest(list_filter(range(1, length(p_name)),
+          |      i -> substr(p_name, i, 2) = 'an')) AS u FROM part)
+          |ORDER BY p_partkey, st""".stripMargin,
+      "krep_extract_ln" ->
+        """WITH t AS (SELECT doc_id, string_split(replace(text,'table',chr(10)), chr(10)) AS lines FROM documents),
+          |e AS (SELECT doc_id, unnest(list_filter(list_transform(lines,
+          |      (l, i) -> {'ln': i, 'c': (length(l)-length(replace(l,'value','')))//5}),
+          |      s -> s.c > 0)) AS u FROM t)
+          |SELECT doc_id, CAST(u.ln AS INTEGER) AS ln, CAST(u.c AS BIGINT) AS cnt FROM e
+          |ORDER BY doc_id, ln""".stripMargin,
+      "binary_prune" ->
+        """SELECT doc_id FROM documents
+          |WHERE (doc_id * 37) % 2048 + 1 <= least(length(text), 1024)
+          |ORDER BY doc_id""".stripMargin,
+      "prune_extensions" ->
+        """WITH n AS (SELECT doc_id, 'f' || doc_id ||
+          |  (['.scala','.log','.md','.jpg','.txt','.min.js','.py','.zip'])[(doc_id % 8 + 1)] AS name
+          |  FROM documents)
+          |SELECT doc_id, name FROM n
+          |WHERE NOT (contains(name, '.min.')
+          |  OR list_contains(['log','jpg','zip'], lower(string_split(name, '.')[-1])))
+          |ORDER BY doc_id""".stripMargin,
+      "gitignore_prune" ->
+        """WITH n AS (SELECT doc_id,
+          |  (['error.log','keep.log','tmpcache','data1','main.scala','readme.md'])[(doc_id % 6 + 1)] AS name
+          |  FROM documents)
+          |SELECT doc_id, name FROM n
+          |WHERE NOT ((name LIKE '%.log' AND NOT name LIKE 'keep%.log')
+          |  OR name LIKE 'tmp%' OR name LIKE 'data_')
+          |ORDER BY doc_id""".stripMargin,
       "krep_exists" ->
         """SELECT count(*) FILTER (WHERE text LIKE '%spark%') > 0 AS found,
           |count(*) FILTER (WHERE text LIKE '%zzzznotaword%') AS misses FROM documents""".stripMargin,

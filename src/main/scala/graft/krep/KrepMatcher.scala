@@ -209,6 +209,59 @@ final class KrepMatcher(val params: KrepParams) extends Serializable {
     new GenericArrayData(arr.asInstanceOf[Array[Any]])
   }
 
+  /** The `-o` projection WITH line numbers: ARRAY<STRUCT<ln INT, m STRING>>
+    * sorted by match (start, end); `ln` is the 1-based '\n'-line of the match
+    * start — the reference prints `file:line:match` in only-matching mode,
+    * resolving each position against a newline index (krep.c:526-653). Here
+    * the sorted matches are resolved in ONE forward pass instead of a binary
+    * search per match.
+    */
+  def extractLines(s: UTF8String): ArrayData = {
+    if (maxCount <= 0) return new GenericArrayData(Array.empty[Any])
+    val spans = ArrayBuffer.empty[(Int, Int)]
+    foreachMatch(s) { (st, en, _) =>
+      spans += ((st, en))
+      spans.length < maxCount
+    }
+    if (spans.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val sorted = spans.sortBy(identity).toArray
+    val out = new Array[Any](sorted.length)
+    if (regex) {
+      val str = s.toString // regex offsets are char offsets
+      var line = 1
+      var scanned = 0
+      var i = 0
+      while (i < sorted.length) {
+        val (st, en) = sorted(i)
+        while (scanned < st) {
+          if (str.charAt(scanned) == '\n') line += 1
+          scanned += 1
+        }
+        out(i) = InternalRow(line,
+          UTF8String.fromString(str.substring(st, en).replace('\n', ' ')))
+        i += 1
+      }
+    } else {
+      val bytes = s.getBytes
+      var line = 1
+      var scanned = 0
+      var i = 0
+      while (i < sorted.length) {
+        val (st, en) = sorted(i)
+        while (scanned < st) {
+          if (bytes(scanned) == '\n') line += 1
+          scanned += 1
+        }
+        val slice = java.util.Arrays.copyOfRange(bytes, st, en)
+        var j = 0
+        while (j < slice.length) { if (slice(j) == '\n') slice(j) = ' '; j += 1 }
+        out(i) = InternalRow(line, UTF8String.fromBytes(slice))
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   /** Matched substrings in text order (the `-o` projection, krep.c:517-793;
     * newlines inside a match become spaces, krep.c:700-714).
     */

@@ -98,6 +98,88 @@ case class KrepExtract(child: Expression, params: KrepParams)
   override def prettyName: String = "krep_extract"
 }
 
+/** The `-o` only-matching projection WITH grep-style line numbers:
+  * ARRAY<STRUCT<ln INT, m STRING>> (reference krep.c:526-653).
+  */
+case class KrepExtractLines(child: Expression, params: KrepParams)
+    extends KrepMatchExpression {
+  override def dataType: DataType = KrepExtractLines.schema
+  override def nullSafeEval(v: Any): Any =
+    matcher.extractLines(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    genCall(ctx, ev, "extractLines")
+  override protected def withNewChildInternal(c: Expression): KrepExtractLines =
+    copy(child = c)
+  override def prettyName: String = "krep_extract_lines"
+}
+object KrepExtractLines {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("ln", IntegerType, nullable = false),
+    StructField("m", StringType, nullable = false))), containsNull = false)
+}
+
+/** Binary-content gate over a BINARY column: NUL byte within the first 1024
+  * bytes (reference is_binary_file, krep.c:3121-3141) — the filter a corpus
+  * scan applies before text operators.
+  */
+case class KrepIsBinary(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any =
+    SourcePruning.isBinary(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.krep.SourcePruning.isBinary($c)")
+  override protected def withNewChildInternal(c: Expression): KrepIsBinary =
+    copy(child = c)
+  override def prettyName: String = "krep_is_binary"
+}
+
+/** Extension-based source pruning on a file NAME (reference
+  * should_skip_extension, krep.c:3090-3119: `.min.` assets + the krep.h skip
+  * list, case-insensitive last-dot suffix).
+  */
+case class KrepSkipName(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any =
+    SourcePruning.shouldSkipExtension(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.krep.SourcePruning.shouldSkipExtension($c.toString())")
+  override protected def withNewChildInternal(c: Expression): KrepSkipName =
+    copy(child = c)
+  override def prettyName: String = "krep_skip_name"
+}
+
+/** Compiled gitignore chain shared per task (analogous to [[KrepMatcher]]). */
+final class GitIgnoreMatcher(lines: Seq[String], isDir: Boolean)
+    extends Serializable {
+  @transient private lazy val chain =
+    Seq(SourcePruning.parseGitignore(lines))
+  def ignored(name: UTF8String): Boolean =
+    SourcePruning.isIgnored(chain, name.toString, isDir)
+}
+
+/** Gitignore filter over basenames: `!` negation, dir-only, fnmatch — the
+  * reference's per-directory prune (krep.c:3180-3307) lifted to a columnar
+  * predicate with the pattern file as a literal.
+  */
+case class GitignoreIgnored(child: Expression, lines: Seq[String],
+    isDir: Boolean = false) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+  @transient private lazy val m = new GitIgnoreMatcher(lines, isDir)
+  override def nullSafeEval(v: Any): Any = m.ignored(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gitignoreMatcher", m,
+      classOf[GitIgnoreMatcher].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.ignored($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): GitignoreIgnored =
+    copy(child = c)
+  override def prettyName: String = "gitignore_ignored"
+}
+
 /** Byte-wise ASCII-only lowercase (reference lower_table, krep.c:124-134).
   * NOT equivalent to Spark's UTF-8-aware `lower()`.
   */
@@ -262,6 +344,12 @@ object functions {
   def krep_tokenize(c: Column): Column = col(KrepTokenize(ex(c)))
   def krep_term_freqs(c: Column): Column = col(KrepTermFreqs(ex(c)))
   def krep_term_positions(c: Column): Column = col(KrepTermPositions(ex(c)))
+  def krep_extract_lines(c: Column, p: KrepParams): Column =
+    col(KrepExtractLines(ex(c), p))
+  def krep_is_binary(c: Column): Column = col(KrepIsBinary(ex(c)))
+  def krep_skip_name(c: Column): Column = col(KrepSkipName(ex(c)))
+  def gitignore_ignored(c: Column, lines: Seq[String],
+      isDir: Boolean = false): Column = col(GitignoreIgnored(ex(c), lines, isDir))
 
   // convenience single-literal forms
   def krep_contains(c: Column, pattern: String): Column =

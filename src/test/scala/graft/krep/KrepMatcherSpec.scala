@@ -173,4 +173,29 @@ class KrepMatcherSpec extends AnyFunSuite {
     assert(e.numElements() == 1)
     assert(e.getUTF8String(0).toString == "b c")
   }
+
+  // --- -o with line numbers (krep.c:526-653) ---
+  test("extractLines: 1-based line numbers, text order, newline->space") {
+    def xl(text: String, pats: Seq[String], re: Boolean = false,
+        max: Long = Long.MaxValue) = {
+      val a = new KrepMatcher(KrepParams(pats, regex = re,
+        overlapping = !re, maxCount = max))
+        .extractLines(UTF8String.fromString(text))
+      (0 until a.numElements).map { i =>
+        val r = a.getStruct(i, 2)
+        (r.getInt(0), r.getUTF8String(1).toString)
+      }
+    }
+    assert(xl("value x\nno hit\nvalue value", Seq("value")) ==
+      Seq((1, "value"), (3, "value"), (3, "value")))
+    // multi-pattern matches interleave in start order, not pattern order
+    assert(xl("bb aa\naa bb", Seq("aa", "bb")) ==
+      Seq((1, "bb"), (1, "aa"), (2, "aa"), (2, "bb")))
+    // regex path: char-offset line accounting
+    assert(xl("x1\ny22\nz333", Seq("[0-9]+"), re = true) ==
+      Seq((1, "1"), (2, "22"), (3, "333")))
+    // maxCount caps matches, not lines
+    assert(xl("a a a\na", Seq("a"), max = 2) == Seq((1, "a"), (1, "a")))
+    assert(xl("nothing here", Seq("zz")).isEmpty)
+  }
 }

@@ -1,0 +1,106 @@
+package graft.krep
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Mirrors the reference's directory-walk pruning assertions
+  * (test/test_directory.c:134-240) plus gitignore pattern shapes
+  * (krep.c:3180-3307).
+  */
+class SourcePruningSpec extends AnyFunSuite {
+
+  import SourcePruning._
+
+  test("binary gate: NUL in first 1024 bytes only; empty is not binary") {
+    assert(!isBinary(Array.empty[Byte]))
+    assert(!isBinary("plain text".getBytes))
+    assert(isBinary(Array[Byte](65, 0, 66)))
+    // NUL at byte 1023 (inside the window) vs 1024 (outside)
+    val in = Array.fill[Byte](2048)('x'.toByte); in(1023) = 0
+    assert(isBinary(in))
+    val out = Array.fill[Byte](2048)('x'.toByte); out(1024) = 0
+    assert(!isBinary(out))
+  }
+
+  test("directory skip: hidden dirs and the predefined list (test_directory.c)") {
+    assert(shouldSkipDirectory(".git"))
+    assert(shouldSkipDirectory("node_modules"))
+    assert(shouldSkipDirectory(".hidden"))
+    assert(shouldSkipDirectory("build") && shouldSkipDirectory("target"))
+    assert(!shouldSkipDirectory("src"))
+    // "." and ".." are in the reference's skip list itself (krep.h:239)
+    assert(shouldSkipDirectory(".") && shouldSkipDirectory(".."))
+  }
+
+  test("extension skip: list is case-insensitive; .min. assets always skip") {
+    assert(shouldSkipExtension("file3.log"))
+    assert(shouldSkipExtension("image.JPG"))
+    assert(shouldSkipExtension("minified.min.js"))
+    assert(shouldSkipExtension("style.min.css"))
+    assert(!shouldSkipExtension("file1.txt"))
+    assert(!shouldSkipExtension("main.scala"))
+    assert(!shouldSkipExtension("noext"))
+    assert(!shouldSkipExtension(".hidden"))    // leading dot is not an extension
+    assert(!shouldSkipExtension("trailing."))  // dot last char
+  }
+
+  test("gitignore parse: comments, blanks, negation, dir-only, anchors") {
+    val pats = parseGitignore(Seq(
+      "# comment", "", "  ", "*.log", "!keep.log", "build/", "/anchored.txt",
+      "  spaced.txt\t", "!"))
+    assert(pats.map(p => (p.glob, p.negated, p.dirOnly)) == Seq(
+      ("*.log", false, false), ("keep.log", true, false),
+      ("build", false, true), ("anchored.txt", false, false),
+      ("spaced.txt", false, false)))
+  }
+
+  test("gitignore match: last match wins, dir-only gating, fnmatch classes") {
+    val pats = parseGitignore(Seq("*.log", "!keep*.log", "tmp?", "[abc]*.dat"))
+    def ign(n: String, d: Boolean = false) = isIgnored(Seq(pats), n, d)
+    assert(ign("error.log"))
+    assert(!ign("keep1.log"))   // negation wins (later line)
+    assert(ign("tmp1") && !ign("tmp12")) // ? is exactly one char
+    assert(ign("a1.dat") && !ign("d1.dat"))
+    assert(!ign("main.scala"))
+    // dir-only pattern ignores dirs, not files of the same name
+    val dironly = parseGitignore(Seq("build/"))
+    assert(isIgnored(Seq(dironly), "build", isDir = true))
+    assert(!isIgnored(Seq(dironly), "build", isDir = false))
+  }
+
+  test("gitignore parent chain: child patterns override parent") {
+    val parent = parseGitignore(Seq("*.log"))
+    val child = parseGitignore(Seq("!important.log"))
+    assert(isIgnored(Seq(parent, child), "a.log", isDir = false))
+    assert(!isIgnored(Seq(parent, child), "important.log", isDir = false))
+    // and the reverse chain direction re-ignores
+    val child2 = parseGitignore(Seq("important.log"))
+    assert(isIgnored(Seq(parent, child2), "important.log", isDir = false))
+  }
+
+  test("expressions evaluate inside a Spark plan (codegen path)") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      ("a.log", "x"), ("keep.log", "x"), ("app.min.js", "x"),
+      ("ok.txt", "x\u0000y"), ("main.scala", "plain")
+    ).toDF("name", "content")
+      .select($"name", encode($"content", "UTF-8").as("payload"))
+
+    // extension pruning: every .log and .min.js name skips (gitignore
+    // negation below is a different, later mechanism)
+    val kept = df.filter(!functions.krep_skip_name($"name"))
+      .select($"name").as[String].collect().toSet
+    assert(kept == Set("ok.txt", "main.scala"))
+
+    val binary = df.filter(functions.krep_is_binary($"payload"))
+      .select($"name").as[String].collect().toSeq
+    assert(binary == Seq("ok.txt"))
+
+    val gitkept = df.filter(!functions.gitignore_ignored($"name",
+      Seq("*.log", "!keep*.log"))).select($"name").as[String].collect().toSet
+    assert(gitkept == Set("keep.log", "app.min.js", "ok.txt", "main.scala"))
+  }
+}
