@@ -268,7 +268,7 @@ object EntryQueries {
           TextOps.jaccardBps($"sa", $"sb").as("j_bps"))
         .orderBy($"id_a")
     }),
-    "minhash_pairs" -> ((s, dir) => { // no SQL oracle (xxhash64-based)
+    "minhash_pairs" -> ((s, dir) => { // PolyHash variant — full DuckDB oracle
       import s.implicits._
       val bands = 8
       val rows = 4
@@ -277,14 +277,14 @@ object EntryQueries {
       // the shingle-hash pipeline into each of the k min-scans (measured
       // 32x recompute, 73s -> 10s on sf0.1)
       val hashed = t(s, dir, "documents")
-        .select($"doc_id", TextOps.shingleHashes($"text").as("hs"))
+        .select($"doc_id", TextOps.shingleHashesPoly($"text").as("hs"))
         .persist()
       val d = hashed.select($"doc_id",
-        TextOps.minhashFromHashes($"hs", k = bands * rows).as("sig"))
+        TextOps.minhashPolyFromHashes($"hs", k = bands * rows).as("sig"))
         .persist()
       val banded = d.select($"doc_id", $"sig",
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          bnd => xxhash64(slice($"sig", bnd * rows + 1, lit(rows)), bnd))))
+        posexplode(array((0 until bands).map(b =>
+          TextOps.bandHashPoly($"sig", b, rows)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
       val l = banded.select($"band", $"bhash", $"doc_id".as("id_a"), $"sig".as("sig_a"))
       val r = banded.select($"band", $"bhash", $"doc_id".as("id_b"), $"sig".as("sig_b"))
@@ -306,6 +306,14 @@ object EntryQueries {
         .select($"doc_id", TextOps.hashedTermFreqs($"text").as("htf"))
         .persist() // barrier: stop CollapseProject inlining htf 64x
         .select($"doc_id", TextOps.simhash64FromHashedTf($"htf").as("sh"))
+        .orderBy($"doc_id")
+    }),
+    "simhash_poly" -> ((s, dir) => { // PolyHash twin — full DuckDB oracle
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TextOps.hashedTermFreqsPoly($"text").as("htf"))
+        .persist() // barrier: stop CollapseProject inlining htf 31x
+        .select($"doc_id", TextOps.simhash31FromHashedTf($"htf").as("sh"))
         .orderBy($"doc_id")
     }),
 
@@ -369,6 +377,18 @@ object EntryQueries {
     val toks = "regexp_extract_all(text,'[A-Za-z0-9_]+')"
     val ltoks = "regexp_extract_all(lower(text),'[a-z0-9_]+')"
     def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+    val P = TextOps.HashP
+    // PolyHash of a string expression: ascii codepoints == bytes (ASCII input)
+    def ph(v: String) =
+      s"list_reduce(list_transform(range(1, length($v)+1), " +
+        s"q -> CAST(ascii(substr($v, q, 1)) AS BIGINT)), (x, y) -> (x*131 + y) % $P)"
+    // token 3-gram shingles, duplicates kept (mirrors TextOps.shingles)
+    val shingles =
+      s"CASE WHEN len($ltoks) >= 3 THEN list_transform(range(1, len($ltoks)-1), " +
+        s"i -> $ltoks[i] || ' ' || $ltoks[i+1] || ' ' || $ltoks[i+2]) ELSE [] END"
+    val sigEntries = TextOps.minhashCoeffs(32).map { case (a, b) =>
+      s"coalesce(list_min(list_transform(hs, h -> (h*$a + $b) % $P)), $P)"
+    }.mkString("[", ", ", "]")
     Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
@@ -503,6 +523,38 @@ object EntryQueries {
            |  CAST((10000 * len(list_filter(sa, x -> list_contains(sb, x))))
            |  // (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))) AS BIGINT)
            |END AS j_bps FROM p ORDER BY id_a""".stripMargin,
+      "minhash_pairs" ->
+        s"""WITH d AS (SELECT doc_id, $shingles AS sh FROM documents),
+           |h AS (SELECT doc_id, list_transform(sh, s -> ${ph("s")}) AS hs FROM d),
+           |sig AS (SELECT doc_id, $sigEntries AS sig FROM h),
+           |banded AS (SELECT doc_id, sig, b AS band,
+           |  list_reduce(list_transform(range(b*4+1, b*4+5), j -> sig[j]),
+           |    (x, y) -> (x*131 + y) % $P) AS bhash
+           |  FROM sig, unnest([0,1,2,3,4,5,6,7]) AS t(b)),
+           |p AS (SELECT a.doc_id AS id_a, bb.doc_id AS id_b, a.sig AS sa, bb.sig AS sb
+           |  FROM banded a JOIN banded bb
+           |  ON a.band = bb.band AND a.bhash = bb.bhash AND a.doc_id < bb.doc_id),
+           |e AS (SELECT DISTINCT id_a, id_b,
+           |  (list_sum(list_transform(range(1, 33),
+           |     i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) * 10000) // 32 AS est_bps
+           |  FROM p)
+           |SELECT id_a, id_b, CAST(est_bps AS BIGINT) AS est_bps FROM e
+           |WHERE est_bps >= 7000 ORDER BY id_a, id_b""".stripMargin,
+      "simhash_poly" ->
+        s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, unnest($ltoks) AS term FROM documents)
+           |  GROUP BY doc_id, term),
+           |h AS (SELECT doc_id, ${ph("term")} AS h, tf FROM tf),
+           |bits AS (SELECT doc_id, j,
+           |  CASE WHEN sum(tf * (CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1
+           |    THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END AS bit
+           |  FROM h, unnest(range(0, 31)) AS t(j) GROUP BY doc_id, j),
+           |agg AS (SELECT doc_id,
+           |  CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(30 - j AS INTEGER))) AS BIGINT) AS sh
+           |  FROM bits GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(coalesce(agg.sh, 0) AS BIGINT) AS sh
+           |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
       "ann_cosine_topk" ->
         """SELECT CAST(row_number() OVER (ORDER BY
           |  list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id=0)) DESC,

