@@ -36,6 +36,16 @@ object Bench {
     else Files.createTempDirectory(prefix).toString
   }
 
+  /** tmpfs is finite RAM: every bench working dir is deleted when its run
+    * ends, or repeated runs would exhaust /dev/shm and distort later
+    * measurements.
+    */
+  def deleteRec(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) f.listFiles().foreach(c => deleteRec(c.getPath))
+    f.delete()
+  }
+
   /** Materialize the deterministic corpus as a parquet table (the "existing
     * Iceberg input" of a real pipeline) — NOT counted as indexing time.
     */
@@ -60,8 +70,19 @@ object Bench {
       repeats: Int = 2, pagesPath: String = null): EngineBenchResult = {
     import spark.implicits._
     val root = benchTmpDir("graft-bench-")
+    val ownPages = pagesPath == null
     val path = Option(pagesPath)
       .getOrElse(materializeCorpus(spark, nDocs, partitions))
+    try engineBenchAt(spark, root, path, nDocs, partitions, repeats)
+    finally {
+      deleteRec(root)
+      if (ownPages) deleteRec(new java.io.File(path).getParent)
+    }
+  }
+
+  private def engineBenchAt(spark: SparkSession, root: String, path: String,
+      nDocs: Long, partitions: Int, repeats: Int): EngineBenchResult = {
+    import spark.implicits._
     val pages = spark.read.parquet(path).as[graft.corpus.Page]
     val t0 = System.nanoTime()
     new IndexBuilder(spark, root, IndexConfig(partitions = partitions)).build(pages)
@@ -126,20 +147,37 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // a broken query must surface as an error, never as a fast "-1s" timing
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.next().take(160)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val engine = engineBench(spark,
       sys.env.getOrElse("GRAFT_BENCH_DOCS", "50000").toLong, cpus.toInt).metrics
 
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val eng = engine.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    // measurement context: the engine numbers are only interpretable knowing
+    // whether working dirs sat on tmpfs and how many cores the JVM saw
+    val shm = new java.io.File("/dev/shm").isDirectory
+    val env = s"""{"cpus":$cpus,"jvm_cores":${Runtime.getRuntime.availableProcessors()},""" +
+      s""""tmpfs":$shm,"bench_docs":${sys.env.getOrElse("GRAFT_BENCH_DOCS", "50000")}}"""
     val total = results.map(_._2).sum + engine("index_build_sec")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"engine":$eng,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"engine":$eng,"errors":$errs,"env":$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

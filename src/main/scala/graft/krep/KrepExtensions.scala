@@ -50,10 +50,17 @@ object KrepExtensions {
       s"$arg must be a string literal, got $other")
   }
 
+  private def litFlag(e: Expression, arg: String): Boolean = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$arg must be a constant boolean, got $e")
+    e.eval(null) == true
+  }
+
   private def params1(args: Seq[Expression]): KrepParams = {
-    // (text, pattern [, caseSensitive [, wholeWord]])
-    val cs = args.lift(2).forall(_.eval(null) == true)
-    val ww = args.lift(3).exists(_.eval(null) == true)
+    // (text, pattern [, caseSensitive [, wholeWord]]) — flags must fold to
+    // constants, same contract as the pattern literal
+    val cs = args.lift(2).forall(litFlag(_, "caseSensitive"))
+    val ww = args.lift(3).exists(litFlag(_, "wholeWord"))
     KrepParams(Seq(litStr(args(1), "pattern")), caseSensitive = cs, wholeWord = ww)
   }
 

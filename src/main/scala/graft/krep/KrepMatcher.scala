@@ -165,6 +165,7 @@ final class KrepMatcher(val params: KrepParams) extends Serializable {
   }
 
   def contains(s: UTF8String): Boolean = {
+    if (maxCount <= 0) return false // consistent with count/positions at -m 0
     var hit = false
     foreachMatch(s) { (_, _, _) => hit = true; false }
     hit
@@ -177,14 +178,17 @@ final class KrepMatcher(val params: KrepParams) extends Serializable {
     if (maxCount <= 0) return 0L
     val bytes = s.getBytes
     var lines = 0L
-    var lineStart = -1 // line start of last counted line
+    var nextLine = 0 // first byte past the last counted line
     foreachMatch(s) { (st, _, _) =>
-      // find start of the line containing st
-      var ls = st
-      while (ls > 0 && bytes(ls - 1) != '\n') ls -= 1
-      if (ls != lineStart || lineStart == -1) {
+      // the reference skips to the next line after a line's first hit
+      // (krep.c:1331-1351): matches starting before `nextLine` are on an
+      // already-counted line — O(1) skip, no per-match back-scan (total scan
+      // work stays bounded by the text length)
+      if (st >= nextLine) {
         lines += 1
-        lineStart = ls
+        var e = st
+        while (e < bytes.length && bytes(e) != '\n') e += 1
+        nextLine = e + 1
       }
       lines < maxCount
     }

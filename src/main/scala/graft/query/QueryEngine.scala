@@ -96,18 +96,22 @@ final class QueryEngine(spark: SparkSession, root: String,
   private def driverCacheable: Boolean =
     ice.completedSteps("postings").rowCount <= driverCacheBlocksThreshold
 
+  private def ensureDictCache(): Map[String, (Long, Long)] = {
+    if (dictCache == null) synchronized {
+      if (dictCache == null) {
+        dictCache = ice.readTable(spark, "dict")
+          .select($"term", $"termId", $"df").collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      }
+    }
+    dictCache
+  }
+
   private def lookupTerms(terms: Array[String]): Array[TermMeta] = {
     if (terms.isEmpty) return Array.empty
     val byTerm: String => Option[(Long, Long)] =
       if (dictRowCount <= dictCacheThreshold) {
-        if (dictCache == null) synchronized {
-          if (dictCache == null) {
-            dictCache = ice.readTable(spark, "dict")
-              .select($"term", $"termId", $"df").collect()
-              .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-          }
-        }
-        dictCache.get
+        ensureDictCache().get
       } else {
         val rows = ice.readTable(spark, "dict")
           .filter($"term".isin(terms.toSeq: _*))
@@ -131,8 +135,58 @@ final class QueryEngine(spark: SparkSession, root: String,
     * is small, blocks are collected and WAND runs on the driver — one Spark
     * job instead of three. Big queries fan out per segment across executors.
     */
-  def search(query: String, k: Int): Array[ScoredDoc] = {
-    val metas = lookupTerms(canonicalTerms(query))
+  def search(query: String, k: Int): Array[ScoredDoc] =
+    searchTerms(canonicalTerms(query), k)
+
+  /** Multi-pattern query mode (SURVEY.md §3.4): each literal pattern expands
+    * to every dictionary term CONTAINING it (krep substring semantics, one
+    * multi-pattern scan of the dict via the same Aho-Corasick matcher the
+    * text filters use), and the union of expansions runs as a disjunctive
+    * block-max-WAND BM25 — the index-side analog of `krep -e p1 -e p2`.
+    */
+  def searchMultiPattern(patterns: Seq[String], k: Int,
+      caseSensitive: Boolean = true, maxExpand: Int = 1024): Array[ScoredDoc] =
+    searchTerms(expandPatterns(
+      graft.krep.KrepParams(patterns, caseSensitive = caseSensitive),
+      maxExpand), k)
+
+  /** Regex query mode: dictionary terms matching the pattern (krep regex
+    * semantics), ranked as a disjunction — the analog of `krep -E`.
+    */
+  def searchRegex(pattern: String, k: Int, maxExpand: Int = 1024): Array[ScoredDoc] =
+    searchTerms(expandPatterns(
+      graft.krep.KrepParams(Seq(pattern), regex = true, overlapping = false),
+      maxExpand), k)
+
+  /** Dict-side pattern expansion. The dict is the small relation (terms, not
+    * docs): cached in memory below the threshold, otherwise one columnar scan
+    * filtered by the krep matcher expression. Expansion is capped at
+    * `maxExpand` terms by DESCENDING df (the reference caps patterns at 1024,
+    * krep.c:3571; hottest terms dominate a disjunctive score).
+    */
+  def expandPatterns(params: graft.krep.KrepParams, maxExpand: Int)
+      : Array[String] = {
+    val matched: Array[(String, Long)] =
+      if (dictRowCount <= dictCacheThreshold) {
+        val m = new graft.krep.KrepMatcher(params)
+        ensureDictCache().iterator.collect {
+          case (t, (_, df)) if m.contains(UTF8String.fromString(t)) => (t, df)
+        }.toArray
+      } else {
+        ice.readTable(spark, "dict")
+          .filter(graft.krep.functions.krep_contains($"term", params))
+          .select($"term", $"df").as[(String, Long)].collect()
+      }
+    matched.sortBy { case (t, df) => (-df, t) }.take(maxExpand)
+      .map(_._1).distinct.sorted
+  }
+
+  /** Exact disjunctive top-k over an explicit canonical (distinct, sorted)
+    * term set — the kernel behind [[search]]/[[searchMultiPattern]]/
+    * [[searchRegex]].
+    */
+  def searchTerms(terms: Array[String], k: Int): Array[ScoredDoc] = {
+    val metas = lookupTerms(terms)
     if (metas.isEmpty) return Array.empty
     val ids = metas.map(_.termId)
     val idxOf = metas.map(m => m.termId -> m.termIdx).toMap

@@ -23,14 +23,25 @@ final class TopKAggregator(k: Int)
   override def merge(a: Array[ScoredDoc], b: Array[ScoredDoc]): Array[ScoredDoc] =
     b.foldLeft(a)(insert)
 
+  /** The buffer is kept best-first sorted; insertion is a binary search +
+    * one arraycopy (O(log k) compare, O(k) move) instead of a full re-sort
+    * per element — the difference between O(n log k) and O(n k log k) when
+    * someone passes k in the thousands.
+    */
   private def insert(buf: Array[ScoredDoc], d: ScoredDoc): Array[ScoredDoc] = {
-    if (buf.length < k) {
-      (buf :+ d).sortBy(s => (-s.score, s.docId))
-    } else if (worse(buf.last, d)) {
-      val out = buf.clone()
-      out(k - 1) = d
-      out.sortBy(s => (-s.score, s.docId))
-    } else buf
+    if (buf.length >= k && !worse(buf.last, d)) return buf
+    var lo = 0
+    var hi = buf.length
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (worse(buf(m), d)) hi = m else lo = m + 1
+    }
+    val n = math.min(buf.length + 1, k)
+    val out = new Array[ScoredDoc](n)
+    System.arraycopy(buf, 0, out, 0, lo)
+    out(lo) = d
+    if (lo < n - 1) System.arraycopy(buf, lo, out, lo + 1, n - 1 - lo)
+    out
   }
 
   override def finish(r: Array[ScoredDoc]): Array[ScoredDoc] = r

@@ -159,6 +159,39 @@ class IndexQuerySpec extends AnyFunSuite {
     assert(phr.nonEmpty, "expected some true phrase hits at this corpus size")
   }
 
+  test("multi-pattern and regex index modes == brute-force BM25 of the expansion") {
+    val engine = new QueryEngine(spark, indexRoot)
+
+    // literal multi-pattern: dict terms CONTAINING any pattern
+    val pats = Seq("plantedmarker", "graftphrase")
+    val expanded = engine.expandPatterns(
+      graft.krep.KrepParams(pats), maxExpand = 1024)
+    assert(expanded.length == 10, // 5 markers x 2 words
+      s"expected the 10 planted terms, got ${expanded.toSeq}")
+    val got = engine.searchMultiPattern(pats, 10)
+    val want = NaiveSearch.topK(spark, pages, expanded.mkString(" "), 10, 4)
+    assert(got.map(s => (s.docId, s.score)).toSeq ==
+      want.map(s => (s.docId, s.score)).toSeq, "multi-pattern mode diverges")
+
+    // regex mode: krep regex over dict terms
+    val gotRe = engine.searchRegex("plantedmarker[0-2]", 10)
+    val expRe = engine.expandPatterns(
+      graft.krep.KrepParams(Seq("plantedmarker[0-2]"), regex = true,
+        overlapping = false), 1024)
+    assert(expRe.toSeq == Seq("plantedmarker0", "plantedmarker1", "plantedmarker2"))
+    val wantRe = NaiveSearch.topK(spark, pages, expRe.mkString(" "), 10, 4)
+    assert(gotRe.map(s => (s.docId, s.score)).toSeq ==
+      wantRe.map(s => (s.docId, s.score)).toSeq, "regex mode diverges")
+
+    // expansion cap keeps the hottest terms (df-descending)
+    val capped = engine.expandPatterns(graft.krep.KrepParams(Seq("a")), 5)
+    assert(capped.length == 5)
+    val unCapped = engine.expandPatterns(graft.krep.KrepParams(Seq("a")), 1024)
+    assert(unCapped.length > 5)
+    // absent pattern expands to nothing and searches empty
+    assert(engine.searchMultiPattern(Seq("zzzqqqxxxnotaword"), 10).isEmpty)
+  }
+
   test("searchDf resolves urls and preserves rank order") {
     val engine = new QueryEngine(spark, indexRoot)
     val df = engine.searchDf(t(100), 5).collect()
