@@ -25,6 +25,16 @@ object Bench {
       SynthWebText.Markers
   }
 
+  /** Phrase-path benchmarks: planted markers (guaranteed hits) plus hot/cold
+    * adjacent-term pairs — exercises the positional intersection + literal
+    * recheck.
+    */
+  def referencePhrases: Seq[String] = {
+    def t(r: Int) = SynthWebText.term(r)
+    SynthWebText.Markers ++
+      Seq(s"${t(0)} ${t(1)}", s"${t(2)} ${t(5)}", s"${t(1)} ${t(3)}")
+  }
+
   /** Bench working dirs live on tmpfs when available: the scaling protocol
     * measures CPU parallelism, and the sandbox's virtual disk adds hundreds
     * of seconds of run-to-run IO noise that has nothing to do with cores.
@@ -116,9 +126,19 @@ object Bench {
     pool.shutdown()
     val qTotalSec = (System.nanoTime() - q0) / 1e9
 
+    // phrase path: positional intersection + literal recheck (one warm pass,
+    // then timed); results join the invariance checksum
+    referencePhrases.foreach(engine.searchPhrase(_, 10))
+    val phraseLats = referencePhrases.map { q =>
+      val s0 = System.nanoTime()
+      val res = engine.searchPhrase(q, 10)
+      firstRun.put("phrase:" + q, res)
+      (System.nanoTime() - s0) / 1e6 // ms
+    }.sorted
+
     // deterministic checksum over the first run's results, in query order
     var checksum = 1469598103934665603L // FNV offset
-    referenceQueries.foreach { q =>
+    (referenceQueries ++ referencePhrases.map("phrase:" + _)).foreach { q =>
       firstRun.get(q).foreach { sd =>
         checksum = (checksum ^ sd.docId) * 1099511628211L
         checksum = (checksum ^ java.lang.Double.doubleToLongBits(sd.score)) *
@@ -133,7 +153,9 @@ object Bench {
       "docs_per_sec" -> nDocs / buildSec,
       "queries_per_sec" -> sorted.length / qTotalSec,
       "query_p50_ms" -> pct(0.50),
-      "query_p95_ms" -> pct(0.95)),
+      "query_p95_ms" -> pct(0.95),
+      "phrase_p50_ms" -> phraseLats(phraseLats.length / 2),
+      "phrase_p95_ms" -> phraseLats.last),
       java.lang.Long.toHexString(checksum))
   }
 

@@ -29,8 +29,22 @@ final class QueryEngine(spark: SparkSession, root: String,
   import spark.implicits._
 
   private val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
+
+  /** The engine is PINNED to the snapshot current at construction: every
+    * table read resolves this one manifest, so queries never mix statistics
+    * from one snapshot with postings from another while a streaming append
+    * commits concurrently. A new engine picks up the new snapshot.
+    */
+  private val snapshot = ice.completedSteps
+  private def readPinned(name: String): DataFrame = {
+    val s = snapshot(name)
+    val files = s.files.map { case (f, _) => s"${s.table}/$f" }
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else spark.read.parquet(s.table)
+  }
+
   val stats: IndexStats = {
-    val r = ice.readTable(spark, "stats").head()
+    val r = readPinned("stats").head()
     IndexStats(r.getLong(0), r.getDouble(1))
   }
 
@@ -52,7 +66,7 @@ final class QueryEngine(spark: SparkSession, root: String,
   private val dictCacheThreshold = 500000L
   @volatile private var dictCache: Map[String, (Long, Long)] = _
 
-  private def dictRowCount: Long = ice.completedSteps("dict").rowCount
+  private def dictRowCount: Long = snapshot("dict").rowCount
 
   /** Postings relation, pinned in executor memory when the index is small
     * enough (a search tier keeps its segments hot; in-memory batch stats
@@ -65,9 +79,9 @@ final class QueryEngine(spark: SparkSession, root: String,
     // project the WAND columns only: parquet is columnar, so the positional
     // payload (`poss`, roughly the size of the docId deltas) is never read
     // on the top-k path
-    val raw = ice.readTable(spark, "postings")
+    val raw = readPinned("postings")
       .select(PostingBlock.wandColumns.map(c => $"$c"): _*)
-    if (ice.completedSteps("postings").rowCount <= cacheBlocksThreshold) {
+    if (snapshot("postings").rowCount <= cacheBlocksThreshold) {
       val cached = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached.count() // materialize once
       cached
@@ -82,7 +96,7 @@ final class QueryEngine(spark: SparkSession, root: String,
     * 10^12-doc route.
     */
   @transient private lazy val driverBlocks: Map[Long, Array[PostingBlock]] = {
-    ice.readTable(spark, "postings")
+    readPinned("postings")
       .select(PostingBlock.wandColumns.map(c => $"$c"): _*).as[PostingBlock]
       .collect().groupBy(_.termId)
   }
@@ -90,16 +104,16 @@ final class QueryEngine(spark: SparkSession, root: String,
     * Loaded lazily, only if a phrase query runs on a driver-cacheable index.
     */
   @transient private lazy val driverPosBlocks: Map[Long, Array[PosPostingBlock]] = {
-    ice.readTable(spark, "postings").as[PosPostingBlock]
+    readPinned("postings").as[PosPostingBlock]
       .collect().groupBy(_.termId)
   }
   private def driverCacheable: Boolean =
-    ice.completedSteps("postings").rowCount <= driverCacheBlocksThreshold
+    snapshot("postings").rowCount <= driverCacheBlocksThreshold
 
   private def ensureDictCache(): Map[String, (Long, Long)] = {
     if (dictCache == null) synchronized {
       if (dictCache == null) {
-        dictCache = ice.readTable(spark, "dict")
+        dictCache = readPinned("dict")
           .select($"term", $"termId", $"df").collect()
           .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
       }
@@ -113,7 +127,7 @@ final class QueryEngine(spark: SparkSession, root: String,
       if (dictRowCount <= dictCacheThreshold) {
         ensureDictCache().get
       } else {
-        val rows = ice.readTable(spark, "dict")
+        val rows = readPinned("dict")
           .filter($"term".isin(terms.toSeq: _*))
           .select($"term", $"termId", $"df")
           .collect()
@@ -173,7 +187,7 @@ final class QueryEngine(spark: SparkSession, root: String,
           case (t, (_, df)) if m.contains(UTF8String.fromString(t)) => (t, df)
         }.toArray
       } else {
-        ice.readTable(spark, "dict")
+        readPinned("dict")
           .filter(graft.krep.functions.krep_contains($"term", params))
           .select($"term", $"df").as[(String, Long)].collect()
       }
@@ -287,7 +301,7 @@ final class QueryEngine(spark: SparkSession, root: String,
         slotOffsets, idfs, avgdl)
     }
 
-    def posBlocksScan = ice.readTable(spark, "postings")
+    def posBlocksScan = readPinned("postings")
       .filter($"termId".isin(ids.toSeq: _*))
       .as[PosPostingBlock]
 
@@ -313,7 +327,7 @@ final class QueryEngine(spark: SparkSession, root: String,
     if (candidates.isEmpty) return Array.empty
 
     // literal re-check, pruned to the candidates
-    val corpus = ice.readTable(spark, "corpus")
+    val corpus = readPinned("corpus")
       .select($"docId", $"text")
     val literal = K.krep_contains($"text", KrepParams(Seq(phrase)))
     val confirmed: Set[Long] =
@@ -341,7 +355,7 @@ final class QueryEngine(spark: SparkSession, root: String,
     val topDf = spark.createDataFrame(
       top.toSeq.zipWithIndex.map { case (s, r) => (r + 1, s.docId, s.score) })
       .toDF("rank", "docId", "score")
-    val docs = ice.readTable(spark, "docs")
+    val docs = readPinned("docs")
     docs.join(broadcast(topDf), "docId")
       .select($"rank", $"docId", $"url", $"score")
       .orderBy($"rank")
