@@ -45,7 +45,10 @@ object LevelBench {
     Bench.engineBench(spark, 2000L, cpus, repeats = 1)
     spark.read.parquet(pagesPath).selectExpr("sum(octet_length(html))").collect()
 
-    val r = Bench.engineBench(spark, nDocs, cpus, repeats = 3,
+    // 12 repeats keep the timed query window in steady state (~300 queries):
+    // at 3 repeats the 4N level finished its 75 queries in <0.5 s wall and
+    // fixed pool/scheduling overheads dominated the throughput reading
+    val r = Bench.engineBench(spark, nDocs, cpus, repeats = 12,
       pagesPath = pagesPath)
     val m = r.metrics.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString(",")

@@ -156,6 +156,50 @@ final class IceTable(val root: String, conf: Configuration) {
     newId
   }
 
+  /** Offline maintenance: delete data files of `table` that NO snapshot in
+    * the log references — the orphans left behind by crashed appends. Safe
+    * with concurrent readers (they only resolve committed manifests) but NOT
+    * with a concurrent in-flight append (its files are unreferenced until it
+    * commits) — run it between batches, like Iceberg's remove-orphan-files.
+    * Returns the deleted paths.
+    */
+  def vacuum(table: String): Seq[String] = {
+    val dir = new Path(tablePath(table))
+    if (!fs.exists(dir)) return Nil
+    // union of the table's file lists across EVERY snapshot (old snapshots
+    // stay queryable until their log entries are expired)
+    val referenced: Set[String] = {
+      val snapDir = new Path(root, "snapshots")
+      if (!fs.exists(snapDir)) Set.empty
+      else fs.listStatus(snapDir).toSeq.flatMap { st =>
+        val in = fs.open(st.getPath)
+        val node = try mapper.readTree(in) finally in.close()
+        val files = Vector.newBuilder[String]
+        node.get("steps").forEach { s =>
+          if (s.get("name").asText() == table)
+            s.get("files").forEach(f => files += f.get("name").asText())
+        }
+        files.result()
+      }.toSet
+    }
+    def walk(p: Path, rel: String): Seq[(Path, String)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val r = if (rel.isEmpty) st.getPath.getName else s"$rel/${st.getPath.getName}"
+        if (st.isDirectory) walk(st.getPath, r) else Seq((st.getPath, r))
+      }
+    val deleted = walk(dir, "").collect {
+      case (path, rel) if rel.endsWith(".parquet") && !referenced(rel) =>
+        fs.delete(path, false)
+        s"${tablePath(table)}/$rel"
+    }
+    // drop now-empty batch subdirectories
+    fs.listStatus(dir).foreach { st =>
+      if (st.isDirectory && fs.listStatus(st.getPath).isEmpty)
+        fs.delete(st.getPath, false)
+    }
+    deleted
+  }
+
   /** Per-file row counts from parquet footers — the per-partition lineage
     * recorded at commit time (derived from the committed artifacts, so it is
     * correct even across resumed builds).

@@ -136,12 +136,26 @@ object BlockMaxWand {
     val iters = termBlocks.indices.map(i =>
       new TermIter(i, idfs(i), termBlocks(i), avgdl)).toArray
     val topk = new TopK(k)
-    val active = scala.collection.mutable.ArrayBuffer(
-      iters.filter(!_.exhausted): _*)
+    // zero allocation inside the loop: `active(0 until n)` is kept sorted by
+    // current doc with an in-place insertion sort (n ≤ #query terms, tiny) —
+    // the previous per-iteration `sortBy` copy was the dominant allocation
+    // of the whole serving tier and stalled concurrent queries in GC
+    val active: Array[TermIter] = iters.filter(!_.exhausted)
+    var n = active.length
 
-    while (active.nonEmpty) {
-      // sort active terms by current doc (WAND ordering)
-      val sorted = active.sortBy(_.doc)
+    while (n > 0) {
+      // in-place insertion sort of active(0..n) by current doc (WAND order)
+      var si = 1
+      while (si < n) {
+        val x = active(si)
+        val d = x.doc
+        var sj = si - 1
+        while (sj >= 0 && active(sj).doc > d) {
+          active(sj + 1) = active(sj); sj -= 1
+        }
+        active(sj + 1) = x
+        si += 1
+      }
       // find pivot: smallest prefix whose UB sum can still reach the
       // threshold — `>= theta - Eps` (not `> theta`) keeps exact-tie
       // candidates alive so the docId ASC tie-break stays rank-identical
@@ -149,25 +163,25 @@ object BlockMaxWand {
       var acc = 0.0
       var p = -1
       var i = 0
-      while (p < 0 && i < sorted.length) {
-        acc += sorted(i).termUpperBound
+      while (p < 0 && i < n) {
+        acc += active(i).termUpperBound
         if (theta == Double.NegativeInfinity || acc >= theta - Eps) p = i
         i += 1
       }
       if (p < 0) {
         // no prefix can beat theta → done
-        active.clear()
+        n = 0
       } else {
-        val pivotDoc = sorted(p).doc
-        if (sorted(0).doc == pivotDoc) {
+        val pivotDoc = active(p).doc
+        if (active(0).doc == pivotDoc) {
           // extend the prefix to every term currently AT the pivot doc —
           // their addends (and block bounds) belong to this candidate too
           var pe = p
-          while (pe + 1 < sorted.length && sorted(pe + 1).doc == pivotDoc) pe += 1
+          while (pe + 1 < n && active(pe + 1).doc == pivotDoc) pe += 1
           // block-max check: refine with current-block bounds at pivotDoc
           var blockAcc = 0.0
           var j = 0
-          while (j <= pe) { blockAcc += sorted(j).currentBlockUpperBound; j += 1 }
+          while (j <= pe) { blockAcc += active(j).currentBlockUpperBound; j += 1 }
           if (theta != Double.NegativeInfinity && blockAcc <= theta - Eps) {
             // cannot beat threshold anywhere in these blocks → shallow
             // advance to just past the nearest block boundary, capped at the
@@ -175,15 +189,15 @@ object BlockMaxWand {
             var horizon = Long.MaxValue
             var j2 = 0
             while (j2 <= pe) {
-              val h = sorted(j2).currentBlockLastDoc
+              val h = active(j2).currentBlockLastDoc
               if (h < horizon) horizon = h
               j2 += 1
             }
             var target = horizon + 1
-            if (pe + 1 < sorted.length && sorted(pe + 1).doc < target)
-              target = sorted(pe + 1).doc
+            if (pe + 1 < n && active(pe + 1).doc < target)
+              target = active(pe + 1).doc
             var j3 = 0
-            while (j3 <= pe) { sorted(j3).advanceTo(target); j3 += 1 }
+            while (j3 <= pe) { active(j3).advanceTo(target); j3 += 1 }
           } else {
             // full evaluation of pivotDoc: sum in ascending termIdx order
             var score = 0.0
@@ -207,9 +221,16 @@ object BlockMaxWand {
         } else {
           // advance all pre-pivot terms to pivotDoc
           var j = 0
-          while (j < p) { sorted(j).advanceTo(pivotDoc); j += 1 }
+          while (j < p) { active(j).advanceTo(pivotDoc); j += 1 }
         }
-        active.filterInPlace(!_.exhausted)
+        // compact exhausted iterators out of the active window
+        var w = 0
+        var r = 0
+        while (r < n) {
+          if (!active(r).exhausted) { active(w) = active(r); w += 1 }
+          r += 1
+        }
+        n = w
       }
     }
     topk.sorted

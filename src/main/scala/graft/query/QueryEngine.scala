@@ -215,35 +215,42 @@ final class QueryEngine(spark: SparkSession, root: String,
       .as[PostingBlock]
 
     def wandOnSegment(segBlocks: Iterator[PostingBlock]): Iterator[ScoredDoc] = {
-      val bySlot = Array.fill(nTerms)(Vector.empty[PostingBlock])
-      segBlocks.foreach { b =>
-        val slot = idxOf(b.termId)
-        bySlot(slot) = bySlot(slot) :+ b
-      }
-      val termBlocks = bySlot.map(_.sortBy(_.firstDoc).toArray)
+      val bySlot = Array.fill(nTerms)(
+        scala.collection.mutable.ArrayBuffer.empty[PostingBlock])
+      segBlocks.foreach(b => bySlot(idxOf(b.termId)) += b)
+      val termBlocks = bySlot.map(_.toArray.sortBy(_.firstDoc))
       val idfs = Array.tabulate(nTerms)(i => idfOf.getOrElse(i, 0.0))
       BlockMaxWand.topK(termBlocks, idfs, avgdl, k0).iterator
+    }
+
+    // driver strategies: one (segId, firstDoc) sort, then WAND per
+    // contiguous segment run — no per-query hash-map grouping (allocation
+    // churn under concurrent serving-tier queries)
+    def wandBySegmentRuns(all: Array[PostingBlock]): Array[ScoredDoc] = {
+      java.util.Arrays.sort(all, (a: PostingBlock, b: PostingBlock) => {
+        val c = java.lang.Long.compare(a.segId, b.segId)
+        if (c != 0) c else java.lang.Long.compare(a.firstDoc, b.firstDoc)
+      })
+      val out = scala.collection.mutable.ArrayBuffer.empty[ScoredDoc]
+      var s = 0
+      while (s < all.length) {
+        var e = s
+        while (e < all.length && all(e).segId == all(s).segId) e += 1
+        out ++= wandOnSegment(all.iterator.slice(s, e))
+        s = e
+      }
+      out.toArray.sortBy(d => (-d.score, d.docId)).take(k)
     }
 
     if (driverCacheable) {
       // serving-tier strategy: zero Spark jobs — blocks come from the
       // driver-resident term-keyed cache, WAND runs inline
-      val all = metas.iterator
+      wandBySegmentRuns(metas.iterator
         .flatMap(m => driverBlocks.getOrElse(m.termId, Array.empty[PostingBlock]))
-        .toArray
-      all.groupBy(_.segId).iterator
-        .flatMap { case (_, bs) => wandOnSegment(bs.iterator) }
-        .toArray
-        .sortBy(s => (-s.score, s.docId))
-        .take(k)
+        .toArray)
     } else if (metas.map(_.df).sum <= localPostingsThreshold) {
       // driver-local strategy: one pruned-scan job, WAND per segment inline
-      val all = blocks.collect()
-      all.groupBy(_.segId).iterator
-        .flatMap { case (_, bs) => wandOnSegment(bs.iterator) }
-        .toArray
-        .sortBy(s => (-s.score, s.docId))
-        .take(k)
+      wandBySegmentRuns(blocks.collect())
     } else {
       blocks
         .groupByKey(_.segId)
@@ -326,27 +333,31 @@ final class QueryEngine(spark: SparkSession, root: String,
       }
     if (candidates.isEmpty) return Array.empty
 
-    // literal re-check, pruned to the candidates
-    val corpus = readPinned("corpus")
-      .select($"docId", $"text")
+    // literal re-check in SCORE-DESCENDING batches: the recheck only REMOVES
+    // candidates (case/separator mismatches token adjacency admits), so the
+    // first k survivors in score order ARE the exact top-k. A hot phrase with
+    // 10^5 positional candidates usually confirms its top-k from the first
+    // ~4k-doc batch — a row-group-pruned point lookup, never a corpus-wide
+    // join (the corpus is written in docId order, so docId IN (...) pushes
+    // down).
+    val sorted = candidates.sortBy(c => (-c._2, c._1))
+    val corpus = readPinned("corpus").select($"docId", $"text")
     val literal = K.krep_contains($"text", KrepParams(Seq(phrase)))
-    val confirmed: Set[Long] =
-      if (candidates.length <= 5000) {
-        // docId IN (...) pushes into the parquet scan: the corpus is written
-        // in docId order, so this reads a handful of row groups
-        corpus.filter($"docId".isin(candidates.map(_._1).toSeq: _*))
-          .filter(literal).select($"docId").as[Long].collect().toSet
-      } else {
-        // larger candidate sets: distributed equi-join on docId — work
-        // proportional to candidates, not corpus
-        val candDf = candidates.map(_._1).toSeq.toDF("docId")
-        corpus.join(candDf, "docId")
-          .filter(literal).select($"docId").as[Long].collect().toSet
+    val batchSize = math.max(4 * k, 64)
+    val out = Vector.newBuilder[ScoredDoc]
+    var taken = 0
+    var found = 0
+    while (found < k && taken < sorted.length) {
+      val batch = sorted.slice(taken, taken + batchSize)
+      taken += batch.length
+      val confirmed = corpus
+        .filter($"docId".isin(batch.map(_._1).toSeq: _*))
+        .filter(literal).select($"docId").as[Long].collect().toSet
+      batch.iterator.filter(c => confirmed(c._1)).foreach { case (d, s) =>
+        if (found < k) { out += ScoredDoc(d, s); found += 1 }
       }
-    candidates.filter(c => confirmed(c._1))
-      .sortBy(c => (-c._2, c._1))
-      .take(k)
-      .map { case (d, s) => ScoredDoc(d, s) }
+    }
+    out.result().toArray
   }
 
   /** Top-k with urls resolved — the user-facing result relation. */

@@ -102,6 +102,16 @@ class StreamingIndexerSpec extends AnyFunSuite {
       assert(resultsByUrl(root, qq, 15) == resultsByUrl(cleanRoot, qq, 15),
         s"post-crash retry diverges on '$qq'")
     }
+
+    // vacuum removes exactly the crashed attempts' orphans; answers unchanged
+    val answer = snapshotAnswer()
+    val orphans = Seq("corpus", "docs", "tfrows", "dict", "postings", "stats")
+      .flatMap(ice.vacuum)
+    assert(orphans.nonEmpty, "two crashed appends should have left orphan files")
+    assert(snapshotAnswer() == answer, "vacuum changed query results")
+    assert(ice.readTable(spark, "docs").count() == 600L)
+    // a second vacuum is a no-op
+    assert(Seq("corpus", "docs", "dict").flatMap(ice.vacuum).isEmpty)
   }
 
   test("readStream → watermark → dropDuplicates → foreachBatch end-to-end") {
