@@ -312,19 +312,41 @@ final class QueryEngine(spark: SparkSession, root: String,
       .filter($"termId".isin(ids.toSeq: _*))
       .as[PosPostingBlock]
 
+    // driver strategies intersect segments IN PARALLEL — segments are
+    // independent by construction, so the serving tier uses all its cores
+    // on one phrase instead of walking a hot term's blocks single-threaded;
+    // results merge by a deterministic final sort
+    def matchSegmentsParallel(all: Array[PosPostingBlock]): Array[(Long, Double)] = {
+      java.util.Arrays.sort(all, (a: PosPostingBlock, b: PosPostingBlock) => {
+        val c = java.lang.Long.compare(a.segId, b.segId)
+        if (c != 0) c else java.lang.Long.compare(a.firstDoc, b.firstDoc)
+      })
+      val runs = Vector.newBuilder[(Int, Int)]
+      var s = 0
+      while (s < all.length) {
+        var e = s
+        while (e < all.length && all(e).segId == all(s).segId) e += 1
+        runs += ((s, e))
+        s = e
+      }
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val futs = runs.result().map { case (lo, hi) =>
+        Future(segMatches(all.iterator.slice(lo, hi)).toArray)
+      }
+      Await.result(Future.sequence(futs), Duration.Inf).toArray.flatten
+    }
+
     // same three physical strategies as search(), same selection logic
     val candidates: Array[(Long, Double)] =
       if (driverCacheable) {
-        metas.iterator
+        matchSegmentsParallel(metas.iterator
           .flatMap(m => driverPosBlocks.getOrElse(m.termId,
             Array.empty[PosPostingBlock]))
-          .toArray.groupBy(_.segId).iterator
-          .flatMap { case (_, bs) => segMatches(bs.iterator) }
-          .toArray
+          .toArray)
       } else if (metas.map(_.df).sum <= localPostingsThreshold) {
-        posBlocksScan.collect().groupBy(_.segId).iterator
-          .flatMap { case (_, bs) => segMatches(bs.iterator) }
-          .toArray
+        matchSegmentsParallel(posBlocksScan.collect())
       } else {
         posBlocksScan
           .groupByKey(_.segId)
