@@ -70,8 +70,15 @@ object KrepExtensions {
     "krep_count_lines" -> (args => KrepCountLines(args.head, params1(args))),
     "krep_positions" -> (args => KrepPositions(args.head, params1(args))),
     "krep_extract" -> (args => KrepExtract(args.head, params1(args))),
+    "krep_extract_lines" -> (args => KrepExtractLines(args.head, params1(args))),
     "krep_tokenize" -> (args => KrepTokenize(args.head)),
-    "ascii_lower" -> (args => AsciiLower(args.head)))
+    "krep_term_freqs" -> (args => KrepTermFreqs(args.head)),
+    "krep_term_positions" -> (args => KrepTermPositions(args.head)),
+    "krep_is_binary" -> (args => KrepIsBinary(args.head)),
+    "krep_skip_name" -> (args => KrepSkipName(args.head)),
+    "ascii_lower" -> (args => AsciiLower(args.head)),
+    "poly_hash" -> (args => graft.ops.PolyHash(args.head)),
+    "cosine_sim" -> (args => graft.ops.CosineSim(args(0), args(1))))
 }
 
 /** `krep_contains(c, 'lit')` with default flags ≡ `Contains(c, 'lit')`

@@ -22,6 +22,14 @@ import graft.krep.{functions => K}
   * dropDuplicates(url) within the watermark → foreachBatch(appendBatch).
   * Each micro-batch commits one atomic snapshot; a crash between batches
   * resumes from the checkpoint + last snapshot (both idempotent).
+  *
+  * Scale note: dict and stats are the only tables REWRITTEN per batch (as
+  * new immutable versions). That cost is O(vocabulary), which grows
+  * sublinearly (Heaps' law) in corpus size — at 10^12 docs the dict is
+  * ~10^8-10^9 rows vs ~10^14 postings, so a per-batch dict rewrite stays a
+  * ~1/10^5 fraction of total data. If batches ever become vocabulary-bound,
+  * the upgrade path is per-batch dict DELTAS merged on read (Lucene-style
+  * per-segment dictionaries), at the price of a more complex lookup.
   */
 final class StreamingIndexer(spark: SparkSession, root: String,
     cfg: IndexConfig = IndexConfig()) {
