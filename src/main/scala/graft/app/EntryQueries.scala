@@ -329,8 +329,11 @@ object EntryQueries {
         (i + 1, r.getLong(0))
       }).toDF("rnk", "vec_id")
     }),
-    "ann_lsh_neardup" -> ((s, dir) => { // no SQL oracle (hash-based buckets)
+    "ann_lsh_neardup" -> ((s, dir) => {
       import s.implicits._
+      // planes are deterministic (SplitMix64 from the seed), so the DuckDB
+      // oracle embeds the same +-1 matrix as literals and reproduces buckets,
+      // pairs and rescored sims exactly (double arithmetic, same fold order)
       AnnOps.lshCandidatePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         nPlanes = 10, nTables = 2)
         .select($"id_a", $"id_b", round($"sim" * 10000).cast("long").as("sim_bps"))
@@ -389,6 +392,20 @@ object EntryQueries {
     val sigEntries = TextOps.minhashCoeffs(32).map { case (a, b) =>
       s"coalesce(list_min(list_transform(hs, h -> (h*$a + $b) % $P)), $P)"
     }.mkString("[", ", ", "]")
+    // SRP-LSH oracle: the same ±1 hyperplanes the SrpBucket kernel derives
+    // (nPlanes=10, dim=64, seeds 42+t), embedded as literals; bit j of the
+    // bucket = sign of the double dot product, folded left-to-right exactly
+    // like the kernel
+    def srpBucketSql(tableSeed: Long): String = {
+      val planes = new graft.ops.SrpPlanes(10, 64, tableSeed).planes
+      (0 until 10).map { j =>
+        val lits = planes(j).map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"(CASE WHEN list_reduce(list_transform(range(1, 65), " +
+          s"i -> CAST(embedding[i] AS DOUBLE) * ($lits)[i]), " +
+          s"(x, y) -> x + y) >= 0 THEN ${1 << (9 - j)} ELSE 0 END)"
+      }.mkString(" + ")
+    }
     Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
@@ -555,6 +572,29 @@ object EntryQueries {
            |SELECT d.doc_id, CAST(coalesce(agg.sh, 0) AS BIGINT) AS sh
            |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+      "ann_lsh_neardup" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding, 0 AS tbl, ${srpBucketSql(42L)} AS bucket FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id, embedding, 1 AS tbl, ${srpBucketSql(43L)} AS bucket FROM embeddings),
+           |p AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+           |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+           |e AS (SELECT id_a, id_b,
+           |  list_reduce(list_transform(range(1, 65),
+           |    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
+           |    (x, y) -> x + y) AS dot,
+           |  sqrt(list_reduce(list_transform(range(1, 65),
+           |    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)),
+           |    (x, y) -> x + y)) AS na,
+           |  sqrt(list_reduce(list_transform(range(1, 65),
+           |    i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
+           |    (x, y) -> x + y)) AS nb
+           |  FROM p JOIN embeddings ea ON ea.vec_id = p.id_a
+           |         JOIN embeddings eb ON eb.vec_id = p.id_b),
+           |s AS (SELECT id_a, id_b,
+           |  CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END AS sim FROM e)
+           |SELECT id_a, id_b, CAST(round(sim * 10000) AS BIGINT) AS sim_bps FROM s
+           |WHERE sim >= 0.0 ORDER BY id_a, id_b""".stripMargin,
       "ann_cosine_topk" ->
         """SELECT CAST(row_number() OVER (ORDER BY
           |  list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id=0)) DESC,
