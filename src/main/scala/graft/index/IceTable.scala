@@ -107,7 +107,10 @@ final class IceTable(val root: String, conf: Configuration) {
       : org.apache.spark.sql.DataFrame = {
     val files = snapshotFiles(name)
     if (files.nonEmpty) spark.read.parquet(files: _*)
-    else spark.read.parquet(tablePath(name))
+    // committed-but-empty table: the directory supplies only the SCHEMA —
+    // limit(0) guarantees orphan files from a crashed append contribute no
+    // rows (the committed content is empty by definition)
+    else spark.read.parquet(tablePath(name)).limit(0)
   }
 
   /** Commit a step: new snapshot = parent steps ± this step, written to the

@@ -180,7 +180,9 @@ final class IndexBuilder(spark: SparkSession, root: String,
   }
 
   def loadStats(): IndexStats = {
-    val r = ice.readTable(spark, "stats").head()
+    // builder-internal: reads the stats table THIS build just wrote, before
+    // its commit — a snapshot-isolated read would not see it yet
+    val r = spark.read.parquet(ice.tablePath("stats")).head()
     IndexStats(r.getLong(0), r.getDouble(1))
   }
 }

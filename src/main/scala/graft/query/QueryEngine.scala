@@ -40,7 +40,9 @@ final class QueryEngine(spark: SparkSession, root: String,
     val s = snapshot(name)
     val files = s.files.map { case (f, _) => s"${s.table}/$f" }
     if (files.nonEmpty) spark.read.parquet(files: _*)
-    else spark.read.parquet(s.table)
+    // committed-but-empty: directory read supplies the schema only (orphans
+    // from a crashed append must contribute no rows)
+    else spark.read.parquet(s.table).limit(0)
   }
 
   val stats: IndexStats = {
