@@ -104,13 +104,22 @@ final class IceTable(val root: String, conf: Configuration) {
     * parquet footer in the directory carries the schema.
     */
   def readTable(spark: org.apache.spark.sql.SparkSession, name: String)
+      : org.apache.spark.sql.DataFrame = readSteps(spark, completedSteps, name)
+
+  /** Same read rule against an EXPLICIT step map — how a reader pins one
+    * snapshot captured earlier (e.g. [[graft.query.QueryEngine]]) instead of
+    * re-resolving LATEST per call.
+    */
+  def readSteps(spark: org.apache.spark.sql.SparkSession,
+      steps: scala.collection.Map[String, StepInfo], name: String)
       : org.apache.spark.sql.DataFrame = {
-    val files = snapshotFiles(name)
+    val s = steps(name)
+    val files = s.files.map { case (f, _) => s"${s.table}/$f" }
     if (files.nonEmpty) spark.read.parquet(files: _*)
     // committed-but-empty table: the directory supplies only the SCHEMA —
     // limit(0) guarantees orphan files from a crashed append contribute no
     // rows (the committed content is empty by definition)
-    else spark.read.parquet(tablePath(name)).limit(0)
+    else spark.read.parquet(s.table).limit(0)
   }
 
   /** Commit a step: new snapshot = parent steps ± this step, written to the
@@ -195,10 +204,13 @@ final class IceTable(val root: String, conf: Configuration) {
         fs.delete(path, false)
         s"${tablePath(table)}/$rel"
     }
-    // drop now-empty batch subdirectories
+    // drop batch subdirectories that no longer hold any parquet data —
+    // Spark leaves _SUCCESS/.crc sidecars behind, so "empty" means
+    // "no data files", not "no files"
     fs.listStatus(dir).foreach { st =>
-      if (st.isDirectory && fs.listStatus(st.getPath).isEmpty)
-        fs.delete(st.getPath, false)
+      if (st.isDirectory &&
+          !walk(st.getPath, "").exists(_._2.endsWith(".parquet")))
+        fs.delete(st.getPath, true)
     }
     deleted
   }

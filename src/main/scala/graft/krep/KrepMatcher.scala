@@ -178,17 +178,26 @@ final class KrepMatcher(val params: KrepParams) extends Serializable {
     if (maxCount <= 0) return 0L
     val bytes = s.getBytes
     var lines = 0L
-    var nextLine = 0 // first byte past the last counted line
+    var lastStart = -1 // line start of the last counted line
+    var lastNl = -1 // its terminating '\n' index (or text length)
     foreachMatch(s) { (st, _, _) =>
-      // the reference skips to the next line after a line's first hit
-      // (krep.c:1331-1351): matches starting before `nextLine` are on an
-      // already-counted line — O(1) skip, no per-match back-scan (total scan
-      // work stays bounded by the text length)
-      if (st >= nextLine) {
-        lines += 1
-        var e = st
-        while (e < bytes.length && bytes(e) != '\n') e += 1
-        nextLine = e + 1
+      // reference semantics (krep.c:1331-1351, aho_corasick.c:390-402):
+      // find_line_start per match, count when it differs from the last
+      // counted line's start. Fast path: a match starting inside the last
+      // counted line's [start, '\n'] span shares its line start — O(1), no
+      // per-match back-scan on long single-line docs; the boundary scans run
+      // at most twice per COUNTED line.
+      val onCountedLine = lastStart >= 0 && st >= lastStart && st <= lastNl
+      if (!onCountedLine) {
+        var ls = st
+        while (ls > 0 && bytes(ls - 1) != '\n') ls -= 1
+        if (ls != lastStart) {
+          lines += 1
+          lastStart = ls
+          var e = st
+          while (e < bytes.length && bytes(e) != '\n') e += 1
+          lastNl = e
+        }
       }
       lines < maxCount
     }

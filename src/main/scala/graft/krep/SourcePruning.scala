@@ -93,13 +93,19 @@ object SourcePruning {
           i += 1
           sb.append(Pattern.quote(glob.charAt(i).toString))
         case '[' =>
-          // copy the class through; translate leading '!' to '^'
+          // character class: leading '!' negates; members are LITERAL except
+          // ranges (a-z), so Java-regex metacharacters inside the body are
+          // escaped ('\', '&&', a non-leading '^', a nested '[')
           val close = glob.indexOf(']', i + 2) // first ] may be literal member
-          if (close < 0) sb.append(Pattern.quote("["))
+          val raw = if (close < 0) "" else glob.substring(i + 1, close)
+          val neg = raw.startsWith("!")
+          val members = if (neg) raw.substring(1) else raw
+          if (close < 0 || members.isEmpty) sb.append(Pattern.quote("["))
           else {
-            var body = glob.substring(i + 1, close)
-            if (body.startsWith("!")) body = "^" + body.substring(1)
-            sb.append('[').append(body).append(']')
+            val safe = members
+              .replace("\\", "\\\\").replace("&", "\\&")
+              .replace("[", "\\[").replace("^", "\\^")
+            sb.append('[').append(if (neg) "^" else "").append(safe).append(']')
             i = close
           }
         case c => sb.append(Pattern.quote(c.toString))

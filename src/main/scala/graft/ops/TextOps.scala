@@ -132,17 +132,10 @@ object TextOps {
 
   val HashP = 2147483647L // 2^31 - 1
 
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   /** Deterministic universal-hash coefficients (a_i in [1,P), b_i in [0,P)). */
   def minhashCoeffs(k: Int): Seq[(Long, Long)] = (0 until k).map { i =>
-    val a = ((mix64(0xA5EED0L + i) & Long.MaxValue) % (HashP - 1)) + 1
-    val b = (mix64(0xB5EED0L + i) & Long.MaxValue) % HashP
+    val a = ((Mix64(0xA5EED0L + i) & Long.MaxValue) % (HashP - 1)) + 1
+    val b = (Mix64(0xB5EED0L + i) & Long.MaxValue) % HashP
     (a, b)
   }
 

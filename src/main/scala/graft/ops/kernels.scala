@@ -54,6 +54,19 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** Shared SplitMix64 finalizer — the one deterministic mixer behind the SRP
+  * planes and the MinHash coefficients. The DuckDB oracles embed values
+  * DERIVED from it as literals, so it must stay bit-stable.
+  */
+object Mix64 {
+  def apply(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
 /** Deterministic ±1 hyperplanes for sign-random-projection LSH, derived once
   * on the driver from SplitMix64 mixing and shipped as a reference object —
   * replacing the round-1 per-row × per-plane × per-element hash recompute
@@ -61,14 +74,8 @@ case class CosineSim(left: Expression, right: Expression)
   */
 final class SrpPlanes(val nPlanes: Int, dim: Int, seed: Long)
     extends Serializable {
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
   val planes: Array[Array[Double]] = Array.tabulate(nPlanes, dim) { (j, i) =>
-    if ((mix64(seed ^ (j.toLong << 32) ^ i.toLong) & 1L) == 1L) 1.0 else -1.0
+    if ((Mix64(seed ^ (j.toLong << 32) ^ i.toLong) & 1L) == 1L) 1.0 else -1.0
   }
   /** Bucket code: bit per plane = sign of the dot product. */
   def bucket(v: ArrayData): Long = {

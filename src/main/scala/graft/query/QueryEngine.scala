@@ -36,14 +36,8 @@ final class QueryEngine(spark: SparkSession, root: String,
     * commits concurrently. A new engine picks up the new snapshot.
     */
   private val snapshot = ice.completedSteps
-  private def readPinned(name: String): DataFrame = {
-    val s = snapshot(name)
-    val files = s.files.map { case (f, _) => s"${s.table}/$f" }
-    if (files.nonEmpty) spark.read.parquet(files: _*)
-    // committed-but-empty: directory read supplies the schema only (orphans
-    // from a crashed append must contribute no rows)
-    else spark.read.parquet(s.table).limit(0)
-  }
+  private def readPinned(name: String): DataFrame =
+    ice.readSteps(spark, snapshot, name)
 
   val stats: IndexStats = {
     val r = readPinned("stats").head()
@@ -104,6 +98,9 @@ final class QueryEngine(spark: SparkSession, root: String,
   }
   /** Phrase-path twin of [[driverBlocks]]: full rows including positions.
     * Loaded lazily, only if a phrase query runs on a driver-cacheable index.
+    * Deliberate trade-off: an engine serving BOTH term and phrase queries
+    * holds the scoring columns twice (≤2x the cache threshold); keeping the
+    * caches independent means term-only engines never pay for positions.
     */
   @transient private lazy val driverPosBlocks: Map[Long, Array[PosPostingBlock]] = {
     readPinned("postings").as[PosPostingBlock]
@@ -189,9 +186,15 @@ final class QueryEngine(spark: SparkSession, root: String,
           case (t, (_, df)) if m.contains(UTF8String.fromString(t)) => (t, df)
         }.toArray
       } else {
+        // the df-descending cap is applied INSIDE the scan (TakeOrdered):
+        // a short pattern over a 10^9-term dict must not collect every
+        // matching term to the driver
         readPinned("dict")
           .filter(graft.krep.functions.krep_contains($"term", params))
-          .select($"term", $"df").as[(String, Long)].collect()
+          .select($"term", $"df")
+          .orderBy($"df".desc, $"term")
+          .limit(maxExpand)
+          .as[(String, Long)].collect()
       }
     matched.sortBy { case (t, df) => (-df, t) }.take(maxExpand)
       .map(_._1).distinct.sorted
@@ -340,20 +343,37 @@ final class QueryEngine(spark: SparkSession, root: String,
       Await.result(Future.sequence(futs), Duration.Inf).toArray.flatten
     }
 
-    // same three physical strategies as search(), same selection logic
+    val corpus = readPinned("corpus").select($"docId", $"text")
+    val literal = K.krep_contains($"text", KrepParams(Seq(phrase)))
+
+    // distributed strategy (the 10^12-doc route): candidates NEVER collect
+    // to the driver — the literal recheck is a distributed equi-join on
+    // docId (work ∝ candidates, spread across executors), then only k rows
+    // come back
+    if (!driverCacheable && metas.map(_.df).sum > localPostingsThreshold) {
+      return posBlocksScan
+        .groupByKey(_.segId)
+        .flatMapGroups((_, it) => segMatches(it))
+        .toDF("docId", "score")
+        .join(corpus, "docId")
+        .filter(literal)
+        .select($"docId", $"score")
+        .orderBy($"score".desc, $"docId".asc)
+        .limit(k)
+        .as[(Long, Double)]
+        .collect()
+        .map { case (d, s) => ScoredDoc(d, s) }
+    }
+
+    // driver strategies: per-segment parallel intersection on the driver
     val candidates: Array[(Long, Double)] =
       if (driverCacheable) {
         matchSegmentsParallel(metas.iterator
           .flatMap(m => driverPosBlocks.getOrElse(m.termId,
             Array.empty[PosPostingBlock]))
           .toArray)
-      } else if (metas.map(_.df).sum <= localPostingsThreshold) {
-        matchSegmentsParallel(posBlocksScan.collect())
       } else {
-        posBlocksScan
-          .groupByKey(_.segId)
-          .flatMapGroups((_, it) => segMatches(it))
-          .collect()
+        matchSegmentsParallel(posBlocksScan.collect())
       }
     if (candidates.isEmpty) return Array.empty
 
@@ -365,8 +385,6 @@ final class QueryEngine(spark: SparkSession, root: String,
     // join (the corpus is written in docId order, so docId IN (...) pushes
     // down).
     val sorted = candidates.sortBy(c => (-c._2, c._1))
-    val corpus = readPinned("corpus").select($"docId", $"text")
-    val literal = K.krep_contains($"text", KrepParams(Seq(phrase)))
     val batchSize = math.max(4 * k, 64)
     val out = Vector.newBuilder[ScoredDoc]
     var taken = 0

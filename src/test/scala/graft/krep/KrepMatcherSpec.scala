@@ -198,4 +198,17 @@ class KrepMatcherSpec extends AnyFunSuite {
     assert(xl("a a a\na", Seq("a"), max = 2) == Seq((1, "a"), (1, "a")))
     assert(xl("nothing here", Seq("zz")).isEmpty)
   }
+
+  test("countLines: newline-spanning multi-pattern matches dedup per line start (AC end-order)") {
+    def cl(text: String, pats: Seq[String]) =
+      new KrepMatcher(KrepParams(pats)).countLines(UTF8String.fromString(text))
+    // "x" (end 3) reports before "a\nx" (end 3, longer) or after — either
+    // way the reference counts by find_line_start != last counted start:
+    // line 2 (the x) and line 1 (start of a\nx) are both counted
+    assert(cl("a\nxq", Seq("x", "a\nx")) == 2)
+    // single line, many matches: one counted line
+    assert(cl("value value value", Seq("value")) == 1)
+    // matches on 3 of 4 lines
+    assert(cl("hit\nmiss\nhit hit\nhit", Seq("hit")) == 3)
+  }
 }

@@ -103,4 +103,24 @@ class SourcePruningSpec extends AnyFunSuite {
       Seq("*.log", "!keep*.log"))).select($"name").as[String].collect().toSet
     assert(gitkept == Set("keep.log", "app.min.js", "ok.txt", "main.scala"))
   }
+
+  test("fnmatch: degenerate and hostile character classes stay literal/safe") {
+    // "[!]" has an empty member set -> '[' is literal, pattern "[!]" matches nothing fnmatch-y;
+    // compiling must not throw
+    val p1 = parseGitignore(Seq("[!]"))
+    assert(!isIgnored(Seq(p1), "x", isDir = false))
+    assert(isIgnored(Seq(p1), "[!]", isDir = false)) // literal match
+    // regex metacharacters inside a class are members, not operators
+    val p2 = parseGitignore(Seq("[a&&b]x"))
+    assert(isIgnored(Seq(p2), "ax", isDir = false))
+    assert(isIgnored(Seq(p2), "&x", isDir = false))
+    assert(!isIgnored(Seq(p2), "cx", isDir = false))
+    val p3 = parseGitignore(Seq("[a^]y"))
+    assert(isIgnored(Seq(p3), "^y", isDir = false))
+    assert(!isIgnored(Seq(p3), "by", isDir = false))
+    // unclosed class is literal
+    val p4 = parseGitignore(Seq("[abc"))
+    assert(isIgnored(Seq(p4), "[abc", isDir = false))
+    assert(!isIgnored(Seq(p4), "a", isDir = false))
+  }
 }
