@@ -4,20 +4,27 @@ import org.apache.spark.sql.SparkSession
 
 import graft.query.QueryEngine
 
-/** BM25 top-k query entry point (spark-submit-able).
+/** BM25 top-k query entry point (spark-submit-able) — all four query modes.
   *
   * {{{
-  *   spark-submit --class graft.app.QuerySearch ... <indexRoot> <k> <query...>
+  *   spark-submit --class graft.app.QuerySearch ... <indexRoot> <k> <terms...>
   *   spark-submit --class graft.app.QuerySearch ... <indexRoot> <k> --phrase <exact phrase...>
+  *   spark-submit --class graft.app.QuerySearch ... <indexRoot> <k> --multi <pattern> [pattern...]
+  *   spark-submit --class graft.app.QuerySearch ... <indexRoot> <k> --regex <regex>
   * }}}
   */
 object QuerySearch {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: QuerySearch <indexRoot> <k> [--phrase] <query...>")
+    require(args.length >= 3,
+      "usage: QuerySearch <indexRoot> <k> [--phrase|--multi|--regex] <query...>")
     val root = args(0)
     val k = args(1).toInt
-    val phraseMode = args(2) == "--phrase"
-    val query = args.drop(if (phraseMode) 3 else 2).mkString(" ")
+    val mode = args(2) match {
+      case m @ ("--phrase" | "--multi" | "--regex") => m
+      case _ => "terms"
+    }
+    val rest = args.drop(if (mode == "terms") 2 else 3)
+    val query = rest.mkString(" ")
 
     val spark = withDefaultMaster(SparkSession.builder()
       .appName("graft-query"))
@@ -26,20 +33,24 @@ object QuerySearch {
 
     val engine = new QueryEngine(spark, root)
     val t0 = System.nanoTime()
-    if (phraseMode) {
-      val rows = engine.searchPhrase(query, k)
+    def dump(tag: String, rows: Array[graft.query.ScoredDoc]): Unit = {
       val ms = (System.nanoTime() - t0) / 1e6
-      println(f"[query] PHRASE '$query' top-$k%d in $ms%.0f ms")
+      println(f"[query] $tag '$query' top-$k%d in $ms%.0f ms")
       rows.zipWithIndex.foreach { case (s, i) =>
         println(f"${i + 1}%3d  doc=${s.docId}%-10d score=${s.score}%.6f")
       }
-    } else {
-      val rows = engine.searchDf(query, k).collect()
-      val ms = (System.nanoTime() - t0) / 1e6
-      println(f"[query] '$query' top-$k%d in $ms%.0f ms")
-      rows.foreach { r =>
-        println(f"${r.getInt(0)}%3d  doc=${r.getLong(1)}%-10d score=${r.getDouble(3)}%.6f  ${r.getString(2)}")
-      }
+    }
+    mode match {
+      case "--phrase" => dump("PHRASE", engine.searchPhrase(query, k))
+      case "--multi" => dump("MULTI", engine.searchMultiPattern(rest.toSeq, k))
+      case "--regex" => dump("REGEX", engine.searchRegex(query, k))
+      case _ =>
+        val rows = engine.searchDf(query, k).collect()
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"[query] '$query' top-$k%d in $ms%.0f ms")
+        rows.foreach { r =>
+          println(f"${r.getInt(0)}%3d  doc=${r.getLong(1)}%-10d score=${r.getDouble(3)}%.6f  ${r.getString(2)}")
+        }
     }
     spark.stop()
   }
