@@ -25,7 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class QueryEngine(spark: SparkSession, root: String,
     localPostingsThreshold: Long = 5000000L,
-    driverCacheBlocksThreshold: Long = 4000000L) {
+    driverCacheBlocksThreshold: Long = 4000000L,
+    driverCorpusDocsThreshold: Long = 400000L) {
   import spark.implicits._
 
   private val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
@@ -108,6 +109,40 @@ final class QueryEngine(spark: SparkSession, root: String,
   }
   private def driverCacheable: Boolean =
     snapshot("postings").rowCount <= driverCacheBlocksThreshold
+
+  /** Serving-tier corpus text cache, docId-sorted parallel arrays (binary
+    * search, no per-doc Map boxing): loaded lazily on the FIRST phrase query
+    * of a driver-cacheable engine, and only when the corpus itself is small
+    * enough to pin (the threshold is docs, since text width dominates). With
+    * it, the byte-exact literal recheck of a phrase is pure CPU — zero Spark
+    * jobs — which is what takes a hot-pair phrase from seconds (hundreds of
+    * serial 64-doc recheck jobs, the round-2 p95) to milliseconds.
+    */
+  @transient private lazy val driverCorpus: (Array[Long], Array[String]) = {
+    val rows = readPinned("corpus").select($"docId", $"text")
+      .as[(Long, String)].collect()
+    java.util.Arrays.sort(rows, Ordering.by((r: (Long, String)) => r._1))
+    (rows.map(_._1), rows.map(_._2))
+  }
+  private def corpusCacheable: Boolean =
+    driverCacheable && snapshot("corpus").rowCount <= driverCorpusDocsThreshold
+
+  /** Sized executor for driver-side per-segment parallel work: bounded by the
+    * session's advertised parallelism, shared across queries — the serving
+    * tier stays predictable under concurrent phrase load instead of
+    * oversubscribing cores through the unbounded global pool.
+    */
+  @transient private lazy val segmentPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(2, spark.sparkContext.defaultParallelism),
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-segments-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
 
   private def ensureDictCache(): Map[String, (Long, Long)] = {
     if (dictCache == null) synchronized {
@@ -336,7 +371,8 @@ final class QueryEngine(spark: SparkSession, root: String,
       }
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(segmentPool)
       val futs = runs.result().map { case (lo, hi) =>
         Future(segMatches(all.iterator.slice(lo, hi)).toArray)
       }
@@ -349,20 +385,31 @@ final class QueryEngine(spark: SparkSession, root: String,
     // distributed strategy (the 10^12-doc route): candidates NEVER collect
     // to the driver — the literal recheck is a distributed equi-join on
     // docId (work ∝ candidates, spread across executors), then only k rows
-    // come back
+    // come back. The candidate set is persisted so its (min, max) docId
+    // range — one tiny agg over the cached rows — prunes the corpus scan
+    // BEFORE the join: the corpus is written in docId order, so the range
+    // predicate pushes down to parquet row-group min/max and the recheck
+    // never reads corpus row groups outside the candidate span.
     if (!driverCacheable && metas.map(_.df).sum > localPostingsThreshold) {
-      return posBlocksScan
+      val cand = posBlocksScan
         .groupByKey(_.segId)
         .flatMapGroups((_, it) => segMatches(it))
         .toDF("docId", "score")
-        .join(corpus, "docId")
-        .filter(literal)
-        .select($"docId", $"score")
-        .orderBy($"score".desc, $"docId".asc)
-        .limit(k)
-        .as[(Long, Double)]
-        .collect()
-        .map { case (d, s) => ScoredDoc(d, s) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val rng = cand.agg(min($"docId"), max($"docId")).head()
+        if (rng.isNullAt(0)) return Array.empty
+        return cand
+          .join(corpus.filter($"docId".between(rng.getLong(0), rng.getLong(1))),
+            "docId")
+          .filter(literal)
+          .select($"docId", $"score")
+          .orderBy($"score".desc, $"docId".asc)
+          .limit(k)
+          .as[(Long, Double)]
+          .collect()
+          .map { case (d, s) => ScoredDoc(d, s) }
+      } finally cand.unpersist()
     }
 
     // driver strategies: per-segment parallel intersection on the driver
@@ -377,21 +424,47 @@ final class QueryEngine(spark: SparkSession, root: String,
       }
     if (candidates.isEmpty) return Array.empty
 
-    // literal re-check in SCORE-DESCENDING batches: the recheck only REMOVES
+    // literal re-check in SCORE-DESCENDING order: the recheck only REMOVES
     // candidates (case/separator mismatches token adjacency admits), so the
-    // first k survivors in score order ARE the exact top-k. A hot phrase with
-    // 10^5 positional candidates usually confirms its top-k from the first
-    // ~4k-doc batch — a row-group-pruned point lookup, never a corpus-wide
-    // join (the corpus is written in docId order, so docId IN (...) pushes
-    // down).
+    // first k survivors in score order ARE the exact top-k.
     val sorted = candidates.sortBy(c => (-c._2, c._1))
-    val batchSize = math.max(4 * k, 64)
+
+    if (corpusCacheable) {
+      // serving-tier recheck: pure CPU against the pinned corpus — zero
+      // Spark jobs, proportional to candidates actually visited before the
+      // kth confirmation (reference memcmp semantics via the same matcher
+      // the distributed filter compiles)
+      val m = new graft.krep.KrepMatcher(KrepParams(Seq(phrase)))
+      val (docIds, texts) = driverCorpus
+      val out = Vector.newBuilder[ScoredDoc]
+      var found = 0
+      var i = 0
+      while (found < k && i < sorted.length) {
+        val (d, s) = sorted(i)
+        val at = java.util.Arrays.binarySearch(docIds, d)
+        if (at >= 0 && m.contains(UTF8String.fromString(texts(at)))) {
+          out += ScoredDoc(d, s)
+          found += 1
+        }
+        i += 1
+      }
+      return out.result().toArray
+    }
+
+    // batched point lookups, GEOMETRICALLY grown: a phrase whose candidates
+    // mostly fail the recheck (sentence-capitalized first words are common)
+    // must not pay hundreds of serial ~100 ms jobs — batch 1 confirms a
+    // well-behaved top-k in one pruned lookup, and the exponent bounds the
+    // worst case at O(log(candidates)) jobs (the corpus is written in docId
+    // order, so docId IN (...) prunes row groups).
     val out = Vector.newBuilder[ScoredDoc]
+    var batchSize = math.max(4 * k, 64)
     var taken = 0
     var found = 0
     while (found < k && taken < sorted.length) {
       val batch = sorted.slice(taken, taken + batchSize)
       taken += batch.length
+      batchSize = math.min(batchSize * 4, 65536)
       val confirmed = corpus
         .filter($"docId".isin(batch.map(_._1).toSeq: _*))
         .filter(literal).select($"docId").as[Long].collect().toSet
