@@ -34,9 +34,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EntryQueries.queries
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for hash-based ops (minhash_pairs,
-    * simhash, ann_lsh_neardup) → driver records a rows-only check.
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Every query has a full value oracle: the hash-based
+    * ops (minhash_pairs, simhash, ann_lsh_neardup) use the PolyHash /
+    * literal-plane schemes the DuckDB SQL reproduces exactly.
     */
   def oracleSql: Map[String, String] = EntryQueries.oracleSql
 }

@@ -19,6 +19,45 @@ object EntryQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** One inverted index per sf dir, built lazily and shared by the three
+    * index-mode queries (phrase / multi-pattern / regex) — the driver runs
+    * them in one JVM, so the build cost is paid once. The url encodes the
+    * source doc_id zero-padded, so dense docId assignment (ordered by url)
+    * preserves doc_id order and results map back by parsing the url.
+    */
+  private val engineCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.query.QueryEngine]
+  private def indexEngine(s: SparkSession, dir: String): graft.query.QueryEngine =
+    engineCache.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val pages = t(s, dir, "documents").select(
+        format_string("doc%08d", $"doc_id").as("url"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("warc_ts"),
+        encode($"text", "UTF-8").as("html"),
+        $"text", $"lang").as[graft.corpus.Page]
+      val root = java.nio.file.Files.createTempDirectory("graft-entryidx-").toString
+      new graft.index.IndexBuilder(s, root,
+        graft.index.IndexConfig(blockSize = 64, docsPerSegment = 512,
+          partitions = 8)).build(pages)
+      new graft.query.QueryEngine(s, root)
+    })
+
+  /** (rnk, doc_id) relation of an index-path search result: docIds resolve
+    * back to doc_id through the engine's own docs table (url round-trip).
+    */
+  private def indexTopK(s: SparkSession, dir: String)(
+      run: graft.query.QueryEngine => Array[graft.query.ScoredDoc]): DataFrame = {
+    import s.implicits._
+    val engine = indexEngine(s, dir)
+    val top = s.createDataFrame(
+      run(engine).toSeq.zipWithIndex.map { case (sd, i) => (i + 1, sd.docId) })
+      .toDF("rnk", "docId")
+    engine.docsDf.join(broadcast(top), "docId")
+      .select($"rnk".cast("int").as("rnk"),
+        substring($"url", 4, 8).cast("long").as("doc_id"))
+      .orderBy($"rnk")
+  }
+
   private val enStop = Seq("the", "a", "and", "of", "to")
   private val deStop = Seq("der", "die", "das", "und", "ist")
 
@@ -300,15 +339,10 @@ object EntryQueries {
         .dropDuplicates("id_a", "id_b")
         .orderBy($"id_a", $"id_b")
     }),
-    "simhash" -> ((s, dir) => { // no SQL oracle (xxhash64-based)
-      import s.implicits._
-      t(s, dir, "documents")
-        .select($"doc_id", TextOps.hashedTermFreqs($"text").as("htf"))
-        .persist() // barrier: stop CollapseProject inlining htf 64x
-        .select($"doc_id", TextOps.simhash64FromHashedTf($"htf").as("sh"))
-        .orderBy($"doc_id")
-    }),
-    "simhash_poly" -> ((s, dir) => { // PolyHash twin — full DuckDB oracle
+    // canonical simhash: the PolyHash scheme, fully value-oracled in DuckDB
+    // (the xxhash64 variant stays a library function — TextOps.simhash64 —
+    // gated in sbt, since no cross-engine oracle can reproduce xxhash64)
+    "simhash" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
         .select($"doc_id", TextOps.hashedTermFreqsPoly($"text").as("htf"))
@@ -335,7 +369,7 @@ object EntryQueries {
       // oracle embeds the same +-1 matrix as literals and reproduces buckets,
       // pairs and rescored sims exactly (double arithmetic, same fold order)
       AnnOps.lshCandidatePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        nPlanes = 10, nTables = 2)
+        nPlanes = 10, nTables = 2, dim = 64)
         .select($"id_a", $"id_b", round($"sim" * 10000).cast("long").as("sim_bps"))
         .orderBy($"id_a", $"id_b")
     }),
@@ -347,6 +381,18 @@ object EntryQueries {
         "spark window the", 15)
         .select($"rank".as("rnk"), $"id".as("doc_id"))
     }),
+
+    // ---- index-path query modes (SURVEY.md §3.4) ---------------------------
+    // each runs against a REAL inverted index built over the documents table:
+    // positional phrase intersection + byte-exact recheck, dict-side pattern
+    // expansion, WAND top-k — gated by the same DuckDB value oracle as the
+    // scan-path BM25
+    "phrase_topk" -> ((s, dir) =>
+      indexTopK(s, dir)(_.searchPhrase("the table", 10))),
+    "multi_pattern_topk" -> ((s, dir) =>
+      indexTopK(s, dir)(_.searchMultiPattern(Seq("or", "am"), 15))),
+    "regex_topk" -> ((s, dir) =>
+      indexTopK(s, dir)(_.searchRegex("^[a-z]{3}$", 15))),
 
     // ---- multimodal plumbing ----------------------------------------------
     "multimodal_features" -> ((s, dir) => {
@@ -396,6 +442,30 @@ object EntryQueries {
     // (nPlanes=10, dim=64, seeds 42+t), embedded as literals; bit j of the
     // bucket = sign of the double dot product, folded left-to-right exactly
     // like the kernel
+    // BM25 top-k skeleton shared by the index-path query modes — the SAME
+    // arithmetic as the bm25_topk oracle (k1=0.9, b=0.4, Lucene idf), with
+    // the term set coming from `expSql` (mirroring dict-side expansion) and
+    // an optional candidate restriction (mirroring the phrase recheck)
+    def bm25IndexSql(expSql: String, extraCte: String, addendFilter: String,
+        k: Int): String =
+      s"""WITH toksrc AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9_]+')) AS term FROM documents
+         |), dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toksrc GROUP BY doc_id),
+         |stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+         |dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toksrc GROUP BY term),
+         |exp AS ($expSql),
+         |tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toksrc
+         |       WHERE term IN (SELECT term FROM exp) GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+         |$extraCte
+         |addends AS (
+         |  SELECT tf.doc_id,
+         |    ln(1.0 + ((SELECT n FROM stats) - df.df + 0.5)/(df.df + 0.5)) *
+         |    ((tf.tf * 1.9) / (tf.tf + 0.9*(0.6 + 0.4*dl.dl/(SELECT avgdl FROM stats)))) AS a
+         |  FROM tf JOIN df USING(term) JOIN dl USING(doc_id)$addendFilter),
+         |scores AS (SELECT doc_id, sum(a) AS score FROM addends GROUP BY doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk, doc_id
+         |FROM scores ORDER BY rnk LIMIT $k""".stripMargin
     def srpBucketSql(tableSeed: Long): String = {
       val planes = new graft.ops.SrpPlanes(10, 64, tableSeed).planes
       (0 until 10).map { j =>
@@ -557,7 +627,7 @@ object EntryQueries {
            |  FROM p)
            |SELECT id_a, id_b, CAST(est_bps AS BIGINT) AS est_bps FROM e
            |WHERE est_bps >= 7000 ORDER BY id_a, id_b""".stripMargin,
-      "simhash_poly" ->
+      "simhash" ->
         s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
            |  FROM (SELECT doc_id, unnest($ltoks) AS term FROM documents)
            |  GROUP BY doc_id, term),
@@ -616,6 +686,29 @@ object EntryQueries {
           |scores AS (SELECT doc_id, sum(a) AS score FROM addends GROUP BY doc_id)
           |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk, doc_id
           |FROM scores ORDER BY rnk LIMIT 15""".stripMargin,
+      // phrase = positional token adjacency (lowercase krep tokens) AND the
+      // byte-exact literal recheck (krep.c:1312 memcmp semantics), scored
+      // over the phrase's distinct terms with corpus-global df/avgdl
+      "phrase_topk" -> bm25IndexSql(
+        "SELECT unnest(['table','the']) AS term",
+        """cand AS (SELECT doc_id FROM
+          |  (SELECT doc_id, text, regexp_extract_all(lower(text),'[a-z0-9_]+') AS tk FROM documents)
+          |  WHERE contains(text, 'the table') AND len(tk) >= 2
+          |    AND list_contains(list_transform(range(1, len(tk)),
+          |          i -> tk[i] || ' ' || tk[i+1]), 'the table')),""".stripMargin,
+        " WHERE tf.doc_id IN (SELECT doc_id FROM cand)", 10),
+      // dict terms CONTAINING any pattern (krep substring semantics), capped
+      // at 1024 by df DESC (krep.c:3571), ranked as a disjunction
+      "multi_pattern_topk" -> bm25IndexSql(
+        """SELECT term FROM dict WHERE contains(term,'or') OR contains(term,'am')
+          |ORDER BY df DESC, term LIMIT 1024""".stripMargin,
+        "", "", 15),
+      // dict terms matching the regex (unanchored search — both engines),
+      // same cap, same disjunctive ranking
+      "regex_topk" -> bm25IndexSql(
+        """SELECT term FROM dict WHERE regexp_matches(term,'^[a-z]{3}$')
+          |ORDER BY df DESC, term LIMIT 1024""".stripMargin,
+        "", "", 15),
       "multimodal_features" ->
         """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |CASE WHEN left(text,1) = '<' THEN 'html' ELSE 'raw' END AS format

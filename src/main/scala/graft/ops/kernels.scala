@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,7 +18,8 @@ object AnnKernels {
 
   /** Exact cosine over FLOAT arrays: double accumulation, fixed left-to-right
     * order — bit-identical to the HOF fold it replaces (zip_with product →
-    * aggregate sum; zero-norm guard → 0.0).
+    * aggregate sum; zero-norm guard → 0.0). Callers guarantee equal lengths
+    * ([[CosineSim]] returns null on mismatch before reaching here).
     */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -40,15 +41,31 @@ object AnnKernels {
   }
 }
 
-/** Exact cosine similarity of two ARRAY<FLOAT> columns (codegen'd). */
+/** Exact cosine similarity of two ARRAY<FLOAT> columns (codegen'd).
+  *
+  * Declares its input types: a DOUBLE/INT array argument is implicitly cast
+  * to ARRAY<FLOAT> at analysis time (or rejected) instead of being silently
+  * reinterpreted byte-wise by `ArrayData.getFloat`. Length-mismatched arrays
+  * return NULL — the explicit analog of the zip_with fold this replaced.
+  */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    AnnKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) null else AnnKernels.cosine(x, y)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.AnnKernels.cosine($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.ops.AnnKernels.cosine($a, $b);
+         |}""".stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : CosineSim = copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
@@ -94,16 +111,33 @@ final class SrpPlanes(val nPlanes: Int, dim: Int, seed: Long)
   }
 }
 
-/** SRP-LSH bucket of an ARRAY<FLOAT> vector under precomputed hyperplanes. */
+/** SRP-LSH bucket of an ARRAY<FLOAT> vector under precomputed hyperplanes.
+  *
+  * Declares ARRAY<FLOAT> input (implicit cast or analysis error — never a
+  * byte-level reinterpret); a vector whose length differs from the plane
+  * dimension buckets to NULL, which equi-joins then drop — mixed-dimension
+  * rows are excluded from candidates explicitly rather than silently
+  * truncated.
+  */
 case class SrpBucket(child: Expression, nPlanes: Int, dim: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   @transient private lazy val p = new SrpPlanes(nPlanes, dim, seed)
-  override def nullSafeEval(v: Any): Any = p.bucket(v.asInstanceOf[ArrayData])
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != dim) null else p.bucket(a)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("srpPlanes", p, classOf[SrpPlanes].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.bucket($c)")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""if ($c.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $ref.bucket($c);
+         |}""".stripMargin)
   }
   override protected def withNewChildInternal(c: Expression): SrpBucket =
     copy(child = c)

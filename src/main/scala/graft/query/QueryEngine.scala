@@ -475,6 +475,11 @@ final class QueryEngine(spark: SparkSession, root: String,
     out.result().toArray
   }
 
+  /** The pinned docs relation (docId, url, dl) — lets callers resolve result
+    * docIds back to their source keys without re-reading an unpinned table.
+    */
+  def docsDf: DataFrame = readPinned("docs")
+
   /** Top-k with urls resolved — the user-facing result relation. */
   def searchDf(query: String, k: Int): DataFrame = {
     val top = search(query, k)

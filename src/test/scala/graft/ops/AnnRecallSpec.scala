@@ -74,6 +74,48 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("pair dedup operates on bare (id_a, id_b) — no vector payloads") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, LogicalPlan}
+    import spark.implicits._
+    val df = vectors.toDF("vec_id", "embedding")
+    val plan = AnnOps.lshCandidatePairs(df, "vec_id", "embedding",
+      nPlanes = 10, nTables = 3, dim = dim).queryExecution.optimizedPlan
+    // the optimizer rewrites dropDuplicates' Deduplicate into a group-by
+    val dedups: Seq[LogicalPlan] = plan.collect {
+      case d: Deduplicate => d
+      case a: Aggregate if a.groupingExpressions.nonEmpty &&
+        a.groupingExpressions.flatMap(_.references.map(_.name)).toSet ==
+          Set("id_a", "id_b") => a
+    }
+    assert(dedups.nonEmpty)
+    // the dedup (and therefore its exchange) keys AND carries only the pair;
+    // nothing below it references the rescore payload aliases
+    dedups.foreach { d =>
+      assert(d.output.map(_.name).toSet == Set("id_a", "id_b"),
+        s"pair dedup carries extra columns: ${d.output.map(_.name).mkString(",")}")
+      val below = d.collect { case n => n.output.map(_.name) }.flatten.toSet
+      assert(!below.contains("v_a") && !below.contains("v_b"),
+        "vector payloads present below the pair dedup")
+    }
+  }
+
+  test("typed inputs: double arrays cast, length mismatch is NULL not garbage") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // double-array inputs resolve via implicit cast to array<float> — the
+    // old ArrayData.getFloat byte-reinterpretation would return garbage
+    val d = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")
+    val sim = d.select(AnnOps.cosine($"a", $"b")).head().getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-12)
+    // length mismatch → NULL (explicit), not a truncated fold
+    val m = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    assert(m.select(AnnOps.cosine($"a", $"b")).head().isNullAt(0))
+    // SRP bucket of a wrong-dimension vector is NULL → dropped by equi-joins
+    val w = Seq(Tuple1(Seq(1.0f, 2.0f, 3.0f))).toDF("v")
+    assert(w.select(AnnOps.srpBucket($"v", nPlanes = 4, dim = 8))
+      .head().isNullAt(0))
+  }
+
   test("brute-force top-k ranks a near-duplicate's source first") {
     import spark.implicits._
     val df = vectors.toDF("vec_id", "embedding")

@@ -52,6 +52,25 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.forall(_.getAs[Array[Byte]](2).length == 16))
   }
 
+  test("simhash64 (xxhash64 library variant): near-dups close, unrelated far") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = "spark window table merge join filter scan batch stream value " * 8
+    val nearDup = base.replace("batch", "group") // one term swapped
+    val unrelated = "alpha beta gamma delta epsilon zeta eta theta iota " * 8
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
+      .toDF("id", "text")
+      .select($"id", TextOps.hashedTermFreqs($"text").as("htf"))
+      .persist()
+      .select($"id", TextOps.simhash64FromHashedTf($"htf").as("sh"))
+    val sh = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(4L), "identical text must hash identically")
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)),
+      "near-dup must be closer than unrelated text")
+    assert(hamming(sh(1L), sh(2L)) <= 16)
+  }
+
   test("exact cosine matches hand computation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
