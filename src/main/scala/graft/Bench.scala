@@ -202,10 +202,14 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     // measurement context: the engine numbers are only interpretable knowing
-    // whether working dirs sat on tmpfs and how many cores the JVM saw
+    // whether working dirs sat on tmpfs, how many cores the JVM saw, and that
+    // this main is NOT taskset-pinned — BENCH.md's scaling protocol (pinned
+    // cores, paired runs) is the authoritative throughput measurement; these
+    // are per-round trend numbers
     val shm = new java.io.File("/dev/shm").isDirectory
     val env = s"""{"cpus":$cpus,"jvm_cores":${Runtime.getRuntime.availableProcessors()},""" +
-      s""""tmpfs":$shm,"bench_docs":${sys.env.getOrElse("GRAFT_BENCH_DOCS", "50000")}}"""
+      s""""tmpfs":$shm,"pinned":false,""" +
+      s""""bench_docs":${sys.env.getOrElse("GRAFT_BENCH_DOCS", "50000")}}"""
     val total = results.map(_._2).sum + engine("index_build_sec")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"engine":$eng,"errors":$errs,"env":$env,"sf":"$sfDir"}""")
     spark.stop()

@@ -82,6 +82,16 @@ object EntryQueries {
           sum(round($"o_totalprice" * 100).cast("long")).as("revenue_cents"))
         .orderBy($"c_mktsegment")
     }),
+    "topk_agg" -> ((s, dir) => { // typed bounded-heap aggregator (§2.9)
+      import s.implicits._
+      val ds = t(s, dir, "orders")
+        .select($"o_orderkey".as("docId"), $"o_totalprice".as("score"))
+        .as[graft.query.ScoredDoc]
+      val top = ds.select(new graft.query.TopKAggregator(10).toColumn).head()
+      s.createDataFrame(
+        top.toSeq.zipWithIndex.map { case (d, i) => (i + 1, d.docId) })
+        .toDF("rnk", "o_orderkey")
+    }),
     "topk_per_group" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -207,6 +217,15 @@ object EntryQueries {
       t(s, dir, "documents")
         .select($"doc_id", name.as("name"))
         .filter(!K.krep_skip_name($"name"))
+        .orderBy($"doc_id")
+    }),
+    "prune_dirs" -> ((s, dir) => { // directory-name pruning (S6)
+      import s.implicits._
+      val dirs = array(lit("src"), lit(".git"), lit("node_modules"),
+        lit("docs"), lit(".cache"), lit("lib"), lit("build"), lit("assets"))
+      t(s, dir, "documents")
+        .select($"doc_id", element_at(dirs, ($"doc_id" % 8 + 1).cast("int")).as("dir"))
+        .filter(!K.krep_skip_dir($"dir"))
         .orderBy($"doc_id")
     }),
     "gitignore_prune" -> ((s, dir) => { // gitignore semantics (S9)
@@ -551,6 +570,17 @@ object EntryQueries {
           |WHERE NOT (contains(name, '.min.')
           |  OR list_contains(['log','jpg','zip'], lower(string_split(name, '.')[-1])))
           |ORDER BY doc_id""".stripMargin,
+      "prune_dirs" ->
+        """WITH n AS (SELECT doc_id,
+          |  (['src','.git','node_modules','docs','.cache','lib','build','assets'])[(doc_id % 8 + 1)] AS dir
+          |  FROM documents)
+          |SELECT doc_id, dir FROM n
+          |WHERE NOT (dir LIKE '.%' OR list_contains(['node_modules','build'], dir))
+          |ORDER BY doc_id""".stripMargin,
+      "topk_agg" ->
+        """SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk,
+          |CAST(o_orderkey AS BIGINT) AS o_orderkey
+          |FROM orders ORDER BY rnk LIMIT 10""".stripMargin,
       "gitignore_prune" ->
         """WITH n AS (SELECT doc_id,
           |  (['error.log','keep.log','tmpcache','data1','main.scala','readme.md'])[(doc_id % 6 + 1)] AS name

@@ -199,8 +199,16 @@ final class IceTable(val root: String, conf: Configuration) {
         val r = if (rel.isEmpty) st.getPath.getName else s"$rel/${st.getPath.getName}"
         if (st.isDirectory) walk(st.getPath, r) else Seq((st.getPath, r))
       }
-    val deleted = walk(dir, "").collect {
-      case (path, rel) if rel.endsWith(".parquet") && !referenced(rel) =>
+    val dataFiles = walk(dir, "").filter(_._2.endsWith(".parquet"))
+    // committed-but-EMPTY table (every snapshot lists zero files): keep one
+    // parquet as the schema carrier — readSteps' empty-table fallback infers
+    // the schema from the directory footer and reads it with limit(0), so
+    // the kept rows can never leak
+    val keep: Set[String] =
+      if (referenced.isEmpty) dataFiles.map(_._2).sorted.headOption.toSet
+      else Set.empty
+    val deleted = dataFiles.collect {
+      case (path, rel) if !referenced(rel) && !keep(rel) =>
         fs.delete(path, false)
         s"${tablePath(table)}/$rel"
     }

@@ -76,6 +76,7 @@ object KrepExtensions {
     "krep_term_positions" -> (args => KrepTermPositions(args.head)),
     "krep_is_binary" -> (args => KrepIsBinary(args.head)),
     "krep_skip_name" -> (args => KrepSkipName(args.head)),
+    "krep_skip_dir" -> (args => KrepSkipDir(args.head)),
     "ascii_lower" -> (args => AsciiLower(args.head)),
     "poly_hash" -> (args => graft.ops.PolyHash(args.head)),
     "cosine_sim" -> (args => graft.ops.CosineSim(args(0), args(1))))

@@ -70,9 +70,22 @@ final class KrepMatcher(val params: KrepParams) extends Serializable {
       val body = patterns.map(p => s"(?:$p)").mkString("|")
       val wrapped =
         if (wholeWord) s"(?<![A-Za-z0-9_])(?:$body)(?![A-Za-z0-9_])" else body
-      val flags = if (caseSensitive) 0 else Pattern.CASE_INSENSITIVE
+      // MULTILINE pins '^'/'$' to line boundaries — the reference compiles
+      // POSIX ERE with REG_NEWLINE (krep.c:2148-2161), making anchors
+      // line-oriented ('.' already excludes '\n' in both engines)
+      val flags = Pattern.MULTILINE |
+        (if (caseSensitive) 0 else Pattern.CASE_INSENSITIVE)
       Pattern.compile(wrapped, flags)
     } else null
+
+  /** JDK quirk: MULTILINE '^'/'$' never match inside an EMPTY input, while
+    * POSIX REG_NEWLINE's "^$" matches the empty string once
+    * (test_regex.c:177-180). On empty input line anchors and text anchors
+    * coincide, so an un-MULTILINE twin is semantically exact there.
+    */
+  @transient private lazy val emptyTextRegex: Pattern =
+    Pattern.compile(javaRegex.pattern,
+      javaRegex.flags & ~Pattern.MULTILINE)
 
   // ---- match enumeration --------------------------------------------------
 
@@ -85,7 +98,7 @@ final class KrepMatcher(val params: KrepParams) extends Serializable {
   def foreachMatch(s: UTF8String)(onMatch: (Int, Int, Int) => Boolean): Unit = {
     if (regex) {
       val str = s.toString
-      val m = javaRegex.matcher(str)
+      val m = (if (str.isEmpty) emptyTextRegex else javaRegex).matcher(str)
       var from = 0
       var go = true
       while (go && from <= str.length && m.find(from)) {

@@ -59,14 +59,15 @@ object SourcePruning {
     (name.startsWith(".") && name != "." && name != "..") ||
       SkipDirectories.contains(name)
 
-  /** `.min.` assets, then the extension list on the LAST dot suffix,
-    * case-insensitive; no dot / leading dot / trailing dot → keep
-    * (krep.c:3090-3119).
+  /** Reference order (krep.c:3090-3118): the no-dot / leading-dot /
+    * trailing-dot guard FIRST (so "x.min." is kept — no checkable
+    * extension), then `.min.` assets, then the extension list on the LAST
+    * dot suffix, case-insensitive.
     */
   def shouldSkipExtension(fileName: String): Boolean = {
-    if (fileName.contains(".min.")) return true
     val dot = fileName.lastIndexOf('.')
     if (dot <= 0 || dot == fileName.length - 1) return false
+    if (fileName.contains(".min.")) return true
     SkipExtensions.contains(fileName.substring(dot).toLowerCase)
   }
 
@@ -93,10 +94,13 @@ object SourcePruning {
           i += 1
           sb.append(Pattern.quote(glob.charAt(i).toString))
         case '[' =>
-          // character class: leading '!' negates; members are LITERAL except
-          // ranges (a-z), so Java-regex metacharacters inside the body are
-          // escaped ('\', '&&', a non-leading '^', a nested '[')
-          val close = glob.indexOf(']', i + 2) // first ] may be literal member
+          // character class: leading '!' negates; a ']' as the FIRST member
+          // (after the optional '!') is a literal member per fnmatch(3), so
+          // the closing-bracket scan starts past it; other members are
+          // LITERAL except ranges (a-z), so Java-regex metacharacters inside
+          // the body are escaped ('\', '&&', ']', a non-leading '^', '[')
+          val negMark = i + 1 < glob.length && glob.charAt(i + 1) == '!'
+          val close = glob.indexOf(']', i + (if (negMark) 3 else 2))
           val raw = if (close < 0) "" else glob.substring(i + 1, close)
           val neg = raw.startsWith("!")
           val members = if (neg) raw.substring(1) else raw
@@ -104,7 +108,7 @@ object SourcePruning {
           else {
             val safe = members
               .replace("\\", "\\\\").replace("&", "\\&")
-              .replace("[", "\\[").replace("^", "\\^")
+              .replace("[", "\\[").replace("]", "\\]").replace("^", "\\^")
             sb.append('[').append(if (neg) "^" else "").append(safe).append(']')
             i = close
           }

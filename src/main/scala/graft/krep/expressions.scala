@@ -151,6 +151,23 @@ case class KrepSkipName(child: Expression) extends UnaryExpression {
   override def prettyName: String = "krep_skip_name"
 }
 
+/** Directory-name pruning of the recursive walk (reference
+  * should_skip_directory, krep.c:3071-3087): hidden dot-dirs (except "." and
+  * "..") and the krep.h skip list.
+  */
+case class KrepSkipDir(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any =
+    SourcePruning.shouldSkipDirectory(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.krep.SourcePruning.shouldSkipDirectory($c.toString())")
+  override protected def withNewChildInternal(c: Expression): KrepSkipDir =
+    copy(child = c)
+  override def prettyName: String = "krep_skip_dir"
+}
+
 /** Compiled gitignore chain shared per task (analogous to [[KrepMatcher]]). */
 final class GitIgnoreMatcher(lines: Seq[String], isDir: Boolean)
     extends Serializable {
@@ -348,6 +365,7 @@ object functions {
     col(KrepExtractLines(ex(c), p))
   def krep_is_binary(c: Column): Column = col(KrepIsBinary(ex(c)))
   def krep_skip_name(c: Column): Column = col(KrepSkipName(ex(c)))
+  def krep_skip_dir(c: Column): Column = col(KrepSkipDir(ex(c)))
   def gitignore_ignored(c: Column, lines: Seq[String],
       isDir: Boolean = false): Column = col(GitignoreIgnored(ex(c), lines, isDir))
 

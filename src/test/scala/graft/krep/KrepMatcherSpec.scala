@@ -112,11 +112,16 @@ class KrepMatcherSpec extends AnyFunSuite {
     assert(count(t, Seq("hello"), re = true, ov = false, cs = false) == 3)
     assert(count(t, Seq("[0-9]+"), re = true, ov = false) == 3)
   }
-  test("regex anchors and alternation") {
-    val t = "Line 1: apple\nLine 2: banana\nLine 3: orange\nLine 4: apple"
-    // reference compiles with REG_NEWLINE (line-oriented anchors); Java
-    // equivalent is MULTILINE — constructs chosen where both agree
-    assert(count(t, Seq("(?m)^Line [0-9]+: (apple|orange)$"), re = true, ov = false) == 3)
+  test("regex anchors are line-oriented (REG_NEWLINE, krep.c:2148-2161)") {
+    // the reference compiles POSIX ERE with REG_NEWLINE; the matcher now
+    // compiles Java regex with MULTILINE by default — no inline (?m) needed
+    // (test_regex.c:155-161)
+    val t = "Line 1: apple\nLine 2: orange\nLine 3: apple\nLine 4: banana"
+    assert(count(t, Seq("^Line [0-9]+: (apple|orange)$"), re = true, ov = false) == 3)
+    // '$' before each '\n' and at text end; '^' after each '\n'
+    assert(count("a\nb\nc", Seq("^[a-z]$"), re = true, ov = false) == 3)
+    // zero-width assertions on plain text (test_regex.c:223-230 accepts 1..2)
+    assert(count("abcdef", Seq("^|$"), re = true, ov = false) == 2)
   }
   test("regex empty-text edge cases") {
     assert(count("", Seq("^$"), re = true, ov = false) == 1)

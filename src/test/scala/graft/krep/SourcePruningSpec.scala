@@ -43,6 +43,10 @@ class SourcePruningSpec extends AnyFunSuite {
     assert(!shouldSkipExtension("noext"))
     assert(!shouldSkipExtension(".hidden"))    // leading dot is not an extension
     assert(!shouldSkipExtension("trailing."))  // dot last char
+    // reference order (krep.c:3093-3104): the trailing-dot guard runs BEFORE
+    // the .min. check, so "x.min." is kept
+    assert(!shouldSkipExtension("x.min."))
+    assert(shouldSkipExtension(".min.js"))     // valid last-dot ext → .min. fires
   }
 
   test("gitignore parse: comments, blanks, negation, dir-only, anchors") {
@@ -122,5 +126,30 @@ class SourcePruningSpec extends AnyFunSuite {
     val p4 = parseGitignore(Seq("[abc"))
     assert(isIgnored(Seq(p4), "[abc", isDir = false))
     assert(!isIgnored(Seq(p4), "a", isDir = false))
+    // POSIX: a ']' as the FIRST member is literal — "[]ab]" = class {], a, b}
+    val p5 = parseGitignore(Seq("[]ab]x"))
+    assert(isIgnored(Seq(p5), "]x", isDir = false))
+    assert(isIgnored(Seq(p5), "ax", isDir = false))
+    assert(!isIgnored(Seq(p5), "cx", isDir = false))
+    // same with negation — "[!]a]" = anything but ']' or 'a'
+    val p6 = parseGitignore(Seq("[!]a]x"))
+    assert(isIgnored(Seq(p6), "bx", isDir = false))
+    assert(!isIgnored(Seq(p6), "]x", isDir = false))
+    assert(!isIgnored(Seq(p6), "ax", isDir = false))
+    // a non-leading ']' closes the class; members may include a ']' literal
+    val p7 = parseGitignore(Seq("[a]b"))
+    assert(isIgnored(Seq(p7), "ab", isDir = false))
+  }
+
+  test("krep_skip_dir expression matches shouldSkipDirectory in a plan") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val names = Seq("src", ".git", "node_modules", "docs", ".cache", "lib",
+      "build", "assets", ".", "..")
+    val kept = names.toDF("dir")
+      .filter(!functions.krep_skip_dir($"dir"))
+      .as[String].collect().toSet
+    assert(kept == names.filterNot(SourcePruning.shouldSkipDirectory).toSet)
+    assert(kept == Set("src", "docs", "lib", "assets"))
   }
 }

@@ -114,6 +114,22 @@ class StreamingIndexerSpec extends AnyFunSuite {
     assert(Seq("corpus", "docs", "dict").flatMap(ice.vacuum).isEmpty)
   }
 
+  test("vacuum of a committed-but-empty table keeps the schema carrier") {
+    import graft.index.{IceTable, StepInfo}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-vac-").toString
+    val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
+    // write rows (schema-bearing parquet exists in the dir), but commit the
+    // table with ZERO files — the shape a crashed first append leaves behind
+    Seq((1L, "a")).toDF("id", "v").write.parquet(ice.tablePath("t"))
+    ice.commitStep(StepInfo("t", ice.tablePath("t"), 0L, Nil, Map.empty))
+    ice.vacuum("t")
+    // the empty-table read must still resolve the schema (and zero rows)
+    val df = ice.readTable(spark, "t")
+    assert(df.columns.toSeq == Seq("id", "v"))
+    assert(df.count() == 0L)
+  }
+
   test("readStream → watermark → dropDuplicates → foreachBatch end-to-end") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft-in-").toString
