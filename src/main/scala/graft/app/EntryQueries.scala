@@ -382,6 +382,25 @@ object EntryQueries {
         (i + 1, r.getLong(0))
       }).toDF("rnk", "vec_id")
     }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      import s.implicits._
+      // IVF scale path: probe 4 of 16 deterministic coarse cells, exact
+      // cosine inside the probed cells only (~4/16 of the corpus scanned;
+      // over a cell-partitioned table the probe is partition pruning).
+      // This row gates the MECHANISM (cell assignment, probe selection,
+      // in-cell rescoring agree with the oracle bit-exactly); the recall
+      // property needs clustered data and is gated in AnnRecallSpec —
+      // the sf tables' embeddings are uniform random, where any
+      // partition-pruning ANN has low recall by construction
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 0).head()
+        .getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val top = AnnOps.ivfTopK(emb, "vec_id", "embedding", qv, 10,
+        nCells = 16, nProbe = 4, seed = 7L).collect()
+      s.createDataFrame(top.toSeq.zipWithIndex.map { case (r, i) =>
+        (i + 1, r.getLong(0))
+      }).toDF("rnk", "vec_id")
+    }),
     "ann_lsh_neardup" -> ((s, dir) => {
       import s.implicits._
       // planes are deterministic (SplitMix64 from the seed), so the DuckDB
@@ -494,6 +513,18 @@ object EntryQueries {
           s"i -> CAST(embedding[i] AS DOUBLE) * ($lits)[i]), " +
           s"(x, y) -> x + y) >= 0 THEN ${1 << (9 - j)} ELSE 0 END)"
       }.mkString(" + ")
+    }
+    // dots of `colRef` against the 16 deterministic ±1 IVF centroids (seed 7,
+    // dim 64) as a SQL list literal expression — same double fold order as
+    // IvfCentroids.cell, so argmax (first max wins) agrees bit-exactly
+    def ivfDotsSql(colRef: String): String = {
+      val cents = new graft.ops.IvfCentroids(16, 64, 7L).centroids
+      cents.map { c =>
+        val lits = c.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"list_reduce(list_transform(range(1, 65), " +
+          s"i -> CAST($colRef[i] AS DOUBLE) * ($lits)[i]), (x, y) -> x + y)"
+      }.mkString("[", ", ", "]")
     }
     Map(
       "q1_agg" ->
@@ -695,6 +726,21 @@ object EntryQueries {
            |  CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END AS sim FROM e)
            |SELECT id_a, id_b, CAST(round(sim * 10000) AS BIGINT) AS sim_bps FROM s
            |WHERE sim >= 0.0 ORDER BY id_a, id_b""".stripMargin,
+      "ann_ivf_topk" ->
+        s"""WITH c AS (SELECT vec_id,
+           |  (array_position(${ivfDotsSql("embedding")},
+           |    list_aggregate(${ivfDotsSql("embedding")}, 'max')) - 1) AS cell
+           |  FROM embeddings),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |pd AS (SELECT unnest(range(1, 17)) AS ci,
+           |  unnest(${ivfDotsSql("qe")}) AS d FROM q),
+           |probe AS (SELECT ci - 1 AS cell FROM pd ORDER BY d DESC, ci LIMIT 4),
+           |cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+           |  JOIN c USING (vec_id) JOIN probe ON c.cell = probe.cell)
+           |SELECT CAST(row_number() OVER (ORDER BY
+           |  list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC,
+           |  vec_id) AS INTEGER) AS rnk, vec_id
+           |FROM cand ORDER BY rnk LIMIT 10""".stripMargin,
       "ann_cosine_topk" ->
         """SELECT CAST(row_number() OVER (ORDER BY
           |  list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id=0)) DESC,

@@ -144,6 +144,83 @@ case class SrpBucket(child: Expression, nPlanes: Int, dim: Int, seed: Long)
   override def prettyName: String = "srp_bucket"
 }
 
+/** Deterministic ±1 coarse centroids for IVF (inverted-file) ANN search.
+  *
+  * All centroids share norm sqrt(dim), so nearest-by-cosine is argmax of the
+  * raw dot product. The centroid source is pluggable in spirit: production
+  * IVF trains k-means, but the PARTITIONING MECHANISM (assign → store by
+  * cell → probe a few cells) is independent of how centroids were obtained,
+  * and the deterministic matrix lets the DuckDB oracle reproduce cell
+  * assignment exactly (same literals, same double fold).
+  */
+final class IvfCentroids(val nCells: Int, dim: Int, seed: Long)
+    extends Serializable {
+  val centroids: Array[Array[Double]] = Array.tabulate(nCells, dim) { (j, i) =>
+    if ((Mix64(seed ^ (j.toLong << 32) ^ i.toLong) & 1L) == 1L) 1.0 else -1.0
+  }
+  /** Coarse cell = argmax_j dot(v, centroid_j); strict-greater keeps the
+    * FIRST maximal cell (ties → lowest index, mirrored by the oracle's
+    * array_position-of-max).
+    */
+  def cell(v: ArrayData): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var j = 0
+    while (j < nCells) {
+      val c = centroids(j)
+      var dot = 0.0
+      var i = 0
+      while (i < c.length) { dot += v.getFloat(i).toDouble * c(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = j }
+      j += 1
+    }
+    best
+  }
+  /** Driver-side probe list for a query vector: the `nProbe` cells with the
+    * highest dot products (ties → lowest index). Same double accumulation
+    * order as [[cell]].
+    */
+  def probeCells(q: Array[Float], nProbe: Int): Array[Int] = {
+    val dots = Array.tabulate(nCells) { j =>
+      val c = centroids(j)
+      var dot = 0.0
+      var i = 0
+      while (i < c.length) { dot += q(i).toDouble * c(i); i += 1 }
+      dot
+    }
+    (0 until nCells).sortBy(j => (-dots(j), j)).take(nProbe).toArray
+  }
+}
+
+/** IVF coarse-cell assignment of an ARRAY<FLOAT> vector (codegen'd).
+  * Wrong-dimension vectors map to NULL — excluded from every probe instead of
+  * silently truncated (same contract as [[SrpBucket]]).
+  */
+case class IvfCell(child: Expression, nCells: Int, dim: Int, seed: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  @transient private lazy val c = new IvfCentroids(nCells, dim, seed)
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != dim) null else c.cell(a)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCentroids", c, classOf[IvfCentroids].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $ref.cell($v);
+         |}""".stripMargin)
+  }
+  override protected def withNewChildInternal(c2: Expression): IvfCell =
+    copy(child = c2)
+  override def prettyName: String = "ivf_cell"
+}
+
 /** Polynomial string hash h = fold(bytes)((acc * 131 + byte) mod (2^31-1)) —
   * the cross-engine-exact hash: DuckDB computes the identical value with
   * list_reduce over ascii codepoints (ASCII inputs), which upgrades the
@@ -181,4 +258,7 @@ object kernels {
       GraftSqlBridge.expression(v), nPlanes, dim, seed))
   def poly_hash(s: Column): Column =
     GraftSqlBridge.column(PolyHash(GraftSqlBridge.expression(s)))
+  def ivf_cell(v: Column, nCells: Int, dim: Int, seed: Long): Column =
+    GraftSqlBridge.column(IvfCell(
+      GraftSqlBridge.expression(v), nCells, dim, seed))
 }

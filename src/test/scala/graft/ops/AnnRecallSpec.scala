@@ -116,6 +116,55 @@ class AnnRecallSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("IVF: full probe equals brute force; partial probe keeps near-dups") {
+    import spark.implicits._
+    val df = vectors.toDF("vec_id", "embedding")
+    val q = vectors(nBase + 3)._2
+    // probing every cell degenerates to the exact scan — rank-identical
+    val full = AnnOps.ivfTopK(df, "vec_id", "embedding", q, 10,
+      nCells = 8, nProbe = 8).as[(Long, Double)].collect().toSeq
+    val brute = AnnOps.bruteForceTopK(df, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == brute)
+    // partial probe (2 of 8 cells): the dup itself and its source share the
+    // query's cell (cos > 0.97 → same argmax with overwhelming margin)
+    val part = AnnOps.ivfTopK(df, "vec_id", "embedding", q, 10,
+      nCells = 8, nProbe = 2).as[(Long, Double)].collect().toSeq
+    assert(part.head._1 == (nBase + 3).toLong)
+    assert(part.map(_._1).contains(3L))
+    // partial-probe results are a subset of the corpus ranked exactly —
+    // every reported sim matches the local cosine
+    val byId = vectors.toMap
+    part.foreach { case (id, s) =>
+      assert(math.abs(s - cos(byId(id), q)) < 1e-12)
+    }
+    // recall@10 of 2/8 probes vs brute force stays useful
+    val recall = brute.map(_._1).count(part.map(_._1).contains(_)) / 10.0
+    assert(recall >= 0.5, s"IVF recall@10 too low: $recall")
+  }
+
+  test("IVF cell assignment: kernel == driver-side centroids; wrong dim NULL") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cents = new IvfCentroids(8, dim, 7L)
+    // the expression's per-row argmax must agree with probeCells' top-1
+    // (same centroids, same double fold)
+    val df = vectors.toDF("vec_id", "embedding")
+    val cells = df.select($"vec_id",
+      AnnOps.ivfCell($"embedding", nCells = 8, dim = dim).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    vectors.foreach { case (id, v) =>
+      assert(cells(id) == cents.probeCells(v, 1).head, s"vec $id")
+    }
+    // every cell id is in range and the population spreads across cells
+    assert(cells.values.forall(c => c >= 0 && c < 8))
+    assert(cells.values.toSet.size >= 4, "degenerate cell assignment")
+    // wrong-dimension vector → NULL cell (excluded from every probe)
+    val w = Seq(Tuple1(Seq(1.0f, 2.0f, 3.0f))).toDF("v")
+    assert(w.select(AnnOps.ivfCell($"v", nCells = 8, dim = dim))
+      .head().isNullAt(0))
+  }
+
   test("brute-force top-k ranks a near-duplicate's source first") {
     import spark.implicits._
     val df = vectors.toDF("vec_id", "embedding")
