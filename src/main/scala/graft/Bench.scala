@@ -135,13 +135,21 @@ object Bench {
     val qTotalSec = windowSecs.min
 
     // phrase path: positional intersection + literal recheck (one warm pass,
-    // then timed); results join the invariance checksum
+    // then timed); results join the invariance checksum. Same GC discipline
+    // as the query windows: collect the window garbage first, then
+    // best-of-3 per phrase — a single-shot timing right after the
+    // concurrent windows used to eat a multi-second stop-the-world pause as
+    // a phantom p95 (observed: 6 s "p95" for a phrase whose steady state is
+    // 0.3 s)
     referencePhrases.foreach(engine.searchPhrase(_, 10))
+    System.gc()
     val phraseLats = referencePhrases.map { q =>
-      val s0 = System.nanoTime()
-      val res = engine.searchPhrase(q, 10)
-      firstRun.put("phrase:" + q, res)
-      (System.nanoTime() - s0) / 1e6 // ms
+      (1 to 3).map { rep =>
+        val s0 = System.nanoTime()
+        val res = engine.searchPhrase(q, 10)
+        if (rep == 1) firstRun.put("phrase:" + q, res)
+        (System.nanoTime() - s0) / 1e6 // ms
+      }.min
     }.sorted
 
     // deterministic checksum over the first run's results, in query order

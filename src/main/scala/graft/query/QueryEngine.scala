@@ -118,10 +118,15 @@ final class QueryEngine(spark: SparkSession, root: String,
     * jobs — which is what takes a hot-pair phrase from seconds (hundreds of
     * serial 64-doc recheck jobs, the round-2 p95) to milliseconds.
     */
-  @transient private lazy val driverCorpus: (Array[Long], Array[String]) = {
-    val rows = readPinned("corpus").select($"docId", $"text")
-      .as[(Long, String)].collect()
-    java.util.Arrays.sort(rows, Ordering.by((r: (Long, String)) => r._1))
+  @transient private lazy val driverCorpus: (Array[Long], Array[Array[Byte]]) = {
+    // UTF-8 bytes, not String: half the heap of a String cache (so the
+    // serving tier's GC stays calm) and the per-recheck
+    // UTF8String.fromString re-encode disappears — fromBytes wraps the
+    // array with zero copy
+    val rows = readPinned("corpus")
+      .select($"docId", encode($"text", "UTF-8"))
+      .as[(Long, Array[Byte])].collect()
+    java.util.Arrays.sort(rows, Ordering.by((r: (Long, Array[Byte])) => r._1))
     (rows.map(_._1), rows.map(_._2))
   }
   private def corpusCacheable: Boolean =
@@ -442,7 +447,7 @@ final class QueryEngine(spark: SparkSession, root: String,
       while (found < k && i < sorted.length) {
         val (d, s) = sorted(i)
         val at = java.util.Arrays.binarySearch(docIds, d)
-        if (at >= 0 && m.contains(UTF8String.fromString(texts(at)))) {
+        if (at >= 0 && m.contains(UTF8String.fromBytes(texts(at)))) {
           out += ScoredDoc(d, s)
           found += 1
         }
