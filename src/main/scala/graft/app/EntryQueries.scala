@@ -263,7 +263,7 @@ object EntryQueries {
       import s.implicits._
       t(s, dir, "documents")
         .select($"doc_id",
-          size(K.krep_tokenize($"text")).cast("long").as("n_tok"))
+          K.krep_token_count($"text").cast("long").as("n_tok"))
         .orderBy($"doc_id")
     }),
     "top_terms" -> ((s, dir) => {

@@ -114,7 +114,7 @@ final class IndexBuilder(spark: SparkSession, root: String,
       val ranked = Ranker.denseIdsByKey(
         pages.select($"url", $"text"), "url", "docId", cfg.partitions)
       write(ranked.select($"docId", $"url",
-        size(K.krep_tokenize($"text")).as("dl"), $"text"), "corpus")
+        K.krep_token_count($"text").as("dl"), $"text"), "corpus")
     }
 
     step("docs", Map.empty) {

@@ -251,6 +251,39 @@ object KrepTokenize {
   }
   def tokenizeArrayData(s: UTF8String): GenericArrayData =
     new GenericArrayData(tokenize(s).asInstanceOf[Array[Any]])
+
+  /** Token COUNT without materializing the tokens — same boundary rules as
+    * [[tokenize]] by construction (the index build computes dl for every
+    * document; the array-per-doc allocation was a measurable slice of the
+    * corpus step).
+    */
+  def count(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var i = 0
+    var c = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && !AsciiFold.isWordByte(bytes(i))) i += 1
+      if (i < n) {
+        c += 1
+        while (i < n && AsciiFold.isWordByte(bytes(i))) i += 1
+      }
+    }
+    c
+  }
+}
+
+/** `size(krep_tokenize(text))` without the token array. */
+case class KrepTokenCount(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    KrepTokenize.count(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.krep.KrepTokenize.count($c)")
+  override protected def withNewChildInternal(c: Expression): KrepTokenCount =
+    copy(child = c)
+  override def prettyName: String = "krep_token_count"
 }
 
 /** Per-row term frequencies: ARRAY<STRUCT<term STRING, tf INT>> sorted by
@@ -359,6 +392,7 @@ object functions {
   def krep_extract(c: Column, p: KrepParams): Column = col(KrepExtract(ex(c), p))
   def ascii_lower(c: Column): Column = col(AsciiLower(ex(c)))
   def krep_tokenize(c: Column): Column = col(KrepTokenize(ex(c)))
+  def krep_token_count(c: Column): Column = col(KrepTokenCount(ex(c)))
   def krep_term_freqs(c: Column): Column = col(KrepTermFreqs(ex(c)))
   def krep_term_positions(c: Column): Column = col(KrepTermPositions(ex(c)))
   def krep_extract_lines(c: Column, p: KrepParams): Column =

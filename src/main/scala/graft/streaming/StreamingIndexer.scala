@@ -87,7 +87,7 @@ final class StreamingIndexer(spark: SparkSession, root: String,
     def deltaDir(table: String): String = s"${ice.tablePath(table)}/$tag"
 
     val corpusDelta = ranked.select($"docId", $"url",
-      size(K.krep_tokenize($"text")).as("dl"), $"text")
+      K.krep_token_count($"text").as("dl"), $"text")
     corpusDelta.write.parquet(deltaDir("corpus"))
     // read the delta back once: corpus/docs/tfrows/postings all derive from it
     val corpusDeltaC = spark.read.parquet(deltaDir("corpus"))
