@@ -94,6 +94,14 @@ object BlockCodec {
   }
 
   /** Decode position lists; `tfs(i)` gives the i-th list's length. */
+  /** One position list packed alone — the per-(doc, term) strip the build
+    * pipeline shuffles instead of an ARRAY<INT>. Strips are independent
+    * (delta state resets per list), so concatenating them in doc order is
+    * byte-identical to [[encodePosLists]] over the int arrays.
+    */
+  def packPositions(xs: Array[Int]): Array[Byte] =
+    encodePosLists(Array(xs))
+
   def decodePosLists(bytes: Array[Byte], tfs: Array[Int]): Array[Array[Int]] = {
     val out = new Array[Array[Int]](tfs.length)
     var pos = 0

@@ -133,10 +133,15 @@ final class IndexBuilder(spark: SparkSession, root: String,
 
     step("tfrows", Map.empty) {
       val corpus = ice.readTable(spark, "corpus")
+      // positions leave the tokenizer already delta-varint packed (posv
+      // BINARY): the widest column of the widest table — and of the postings
+      // exchange downstream — is a compact strip instead of an ARRAY<INT>,
+      // and block encoding later concatenates strips without re-coding
       write(corpus
-        .select($"docId", $"dl", explode(K.krep_term_positions($"text")).as("t"))
+        .select($"docId", $"dl",
+          explode(K.krep_term_positions_packed($"text")).as("t"))
         .select($"docId", $"t.term".as("term"),
-          size($"t.pos").as("tf"), $"dl", $"t.pos".as("pos")),
+          $"t.tf".as("tf"), $"dl", $"t.posv".as("posv")),
         "tfrows")
     }
 
@@ -166,8 +171,8 @@ final class IndexBuilder(spark: SparkSession, root: String,
       // segments, so per-term blocks stay globally mergeable sorted runs.
       val rows = tfr.join(dictJ, "term")
         .select($"termId", $"docId", $"tf".cast("int"), $"dl".cast("int"),
-          $"pos")
-        .as[(Long, Long, Int, Int, Array[Int])]
+          $"posv")
+        .as[(Long, Long, Int, Int, Array[Byte])]
         .repartition(cfg.partitions, $"termId",
           floor($"docId" / cfg.docsPerSegment))
         .sortWithinPartitions($"termId", $"docId")
@@ -188,13 +193,15 @@ final class IndexBuilder(spark: SparkSession, root: String,
 }
 
 object IndexBuilder {
-  /** Encode (termId, docId, tf, dl, positions) rows — sorted by (termId,
-    * docId) within partitions, blocks never spanning a docId segment — into
-    * compressed posting blocks. Shared by the batch build and the streaming
-    * appender.
+  /** Encode (termId, docId, tf, dl, packedPositions) rows — sorted by
+    * (termId, docId) within partitions, blocks never spanning a docId
+    * segment — into compressed posting blocks. Position strips arrive
+    * already packed ([[BlockCodec.packPositions]]); a block's `poss` is
+    * their concatenation, byte-identical to encoding the int lists. Shared
+    * by the batch build and the streaming appender.
     */
   def encodeBlocks(
-      rows: org.apache.spark.sql.Dataset[(Long, Long, Int, Int, Array[Int])],
+      rows: org.apache.spark.sql.Dataset[(Long, Long, Int, Int, Array[Byte])],
       blockSize: Int, docsPerSegment: Long)
       : org.apache.spark.sql.Dataset[PosPostingBlock] = {
     import rows.sparkSession.implicits._
@@ -204,7 +211,7 @@ object IndexBuilder {
         private val bufDoc = new Array[Long](blockSize)
         private val bufTf = new Array[Int](blockSize)
         private val bufDl = new Array[Int](blockSize)
-        private val bufPos = new Array[Array[Int]](blockSize)
+        private val bufPos = new Array[Array[Byte]](blockSize)
         private var len = 0
         private var curTerm = -1L
         private var curSeg = -1L
@@ -212,10 +219,20 @@ object IndexBuilder {
         private def flush(): PosPostingBlock = {
           var maxTf = 0
           var minDl = Int.MaxValue
+          var posBytes = 0
           var i = 0
           while (i < len) {
             if (bufTf(i) > maxTf) maxTf = bufTf(i)
             if (bufDl(i) < minDl) minDl = bufDl(i)
+            posBytes += bufPos(i).length
+            i += 1
+          }
+          val poss = new Array[Byte](posBytes)
+          var off = 0
+          i = 0
+          while (i < len) {
+            System.arraycopy(bufPos(i), 0, poss, off, bufPos(i).length)
+            off += bufPos(i).length
             i += 1
           }
           val b = PosPostingBlock(curTerm, curSeg, bufDoc(0), bufDoc(len - 1),
@@ -223,7 +240,7 @@ object IndexBuilder {
             BlockCodec.encodeDeltaLongs(java.util.Arrays.copyOf(bufDoc, len)),
             BlockCodec.encodeInts(java.util.Arrays.copyOf(bufTf, len)),
             BlockCodec.encodeInts(java.util.Arrays.copyOf(bufDl, len)),
-            BlockCodec.encodePosLists(java.util.Arrays.copyOf(bufPos, len)))
+            poss)
           len = 0
           b
         }

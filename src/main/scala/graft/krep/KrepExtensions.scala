@@ -78,6 +78,7 @@ object KrepExtensions {
     "krep_skip_name" -> (args => KrepSkipName(args.head)),
     "krep_skip_dir" -> (args => KrepSkipDir(args.head)),
     "krep_token_count" -> (args => KrepTokenCount(args.head)),
+    "krep_term_positions_packed" -> (args => KrepTermPositionsPacked(args.head)),
     "ascii_lower" -> (args => AsciiLower(args.head)),
     "poly_hash" -> (args => graft.ops.PolyHash(args.head)),
     "cosine_sim" -> (args => graft.ops.CosineSim(args(0), args(1))))

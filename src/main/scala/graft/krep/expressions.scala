@@ -273,6 +273,57 @@ object KrepTokenize {
   }
 }
 
+/** [[KrepTermPositions]] with the position list already delta-varint packed
+  * ([[graft.index.BlockCodec.packPositions]] format): the index build's wide
+  * exchange then moves one compact BINARY strip per (doc, term) instead of an
+  * ARRAY<INT>, and block encoding concatenates strips without re-coding.
+  */
+case class KrepTermPositionsPacked(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = KrepTermPositionsPacked.schema
+  override def nullSafeEval(v: Any): Any =
+    KrepTermPositionsPacked.packed(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.krep.KrepTermPositionsPacked.packed($c)")
+  override protected def withNewChildInternal(c: Expression): KrepTermPositionsPacked =
+    copy(child = c)
+  override def prettyName: String = "krep_term_positions_packed"
+}
+object KrepTermPositionsPacked {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", IntegerType, nullable = false),
+    StructField("posv", BinaryType, nullable = false))), containsNull = false)
+
+  def packed(s: UTF8String): GenericArrayData = {
+    val toks = KrepTokenize.tokenize(s)
+    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val idx = new Array[Integer](toks.length)
+    var i = 0
+    while (i < toks.length) { idx(i) = i; i += 1 }
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
+      val c = toks(a).compareTo(toks(b))
+      if (c != 0) c else Integer.compare(a, b)
+    })
+    val rows = new java.util.ArrayList[Any](toks.length / 2 + 1)
+    var runStart = 0
+    i = 1
+    while (i <= toks.length) {
+      if (i == toks.length || toks(idx(i)).compareTo(toks(idx(runStart))) != 0) {
+        val ps = new Array[Int](i - runStart)
+        var j = runStart
+        while (j < i) { ps(j - runStart) = idx(j); j += 1 }
+        rows.add(org.apache.spark.sql.catalyst.InternalRow(
+          toks(idx(runStart)), ps.length,
+          graft.index.BlockCodec.packPositions(ps)))
+        runStart = i
+      }
+      i += 1
+    }
+    new GenericArrayData(rows.toArray)
+  }
+}
+
 /** `size(krep_tokenize(text))` without the token array. */
 case class KrepTokenCount(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -393,6 +444,8 @@ object functions {
   def ascii_lower(c: Column): Column = col(AsciiLower(ex(c)))
   def krep_tokenize(c: Column): Column = col(KrepTokenize(ex(c)))
   def krep_token_count(c: Column): Column = col(KrepTokenCount(ex(c)))
+  def krep_term_positions_packed(c: Column): Column =
+    col(KrepTermPositionsPacked(ex(c)))
   def krep_term_freqs(c: Column): Column = col(KrepTermFreqs(ex(c)))
   def krep_term_positions(c: Column): Column = col(KrepTermPositions(ex(c)))
   def krep_extract_lines(c: Column, p: KrepParams): Column =

@@ -94,9 +94,10 @@ final class StreamingIndexer(spark: SparkSession, root: String,
     corpusDeltaC.select($"docId", $"url", $"dl").write.parquet(deltaDir("docs"))
 
     val tfDelta = corpusDeltaC
-      .select($"docId", $"dl", explode(K.krep_term_positions($"text")).as("t"))
+      .select($"docId", $"dl",
+        explode(K.krep_term_positions_packed($"text")).as("t"))
       .select($"docId", $"t.term".as("term"),
-        size($"t.pos").as("tf"), $"dl", $"t.pos".as("pos"))
+        $"t.tf".as("tf"), $"dl", $"t.posv".as("posv"))
     tfDelta.write.parquet(deltaDir("tfrows"))
     val tfDeltaC = spark.read.parquet(deltaDir("tfrows"))
 
@@ -124,8 +125,8 @@ final class StreamingIndexer(spark: SparkSession, root: String,
     val dictJ = broadcast(spark.read.parquet(deltaDir("dict"))
       .select($"termId", $"term"))
     val rows = tfDeltaC.join(dictJ, "term")
-      .select($"termId", $"docId", $"tf".cast("int"), $"dl".cast("int"), $"pos")
-      .as[(Long, Long, Int, Int, Array[Int])]
+      .select($"termId", $"docId", $"tf".cast("int"), $"dl".cast("int"), $"posv")
+      .as[(Long, Long, Int, Int, Array[Byte])]
       .repartition(cfg.partitions, $"termId", floor($"docId" / cfg.docsPerSegment))
       .sortWithinPartitions($"termId", $"docId")
     IndexBuilder.encodeBlocks(rows, cfg.blockSize, cfg.docsPerSegment)

@@ -23,6 +23,49 @@ class BlockCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("packPositions strips concatenate byte-identically to encodePosLists") {
+    (0 until 200).foreach { _ =>
+      val lists = Array.fill(1 + rnd.nextInt(40)) {
+        val n = 1 + rnd.nextInt(12)
+        val xs = new Array[Int](n)
+        var cur = rnd.nextInt(200)
+        var i = 0
+        while (i < n) { xs(i) = cur; cur += 1 + rnd.nextInt(500); i += 1 }
+        xs
+      }
+      val whole = BlockCodec.encodePosLists(lists)
+      val strips = lists.flatMap(BlockCodec.packPositions)
+      assert(java.util.Arrays.equals(whole, strips))
+      // and the concatenation decodes back to the original lists
+      val dec = BlockCodec.decodePosLists(strips, lists.map(_.length))
+      assert(dec.map(_.toSeq).toSeq == lists.map(_.toSeq).toSeq)
+    }
+  }
+
+  test("packed term-positions expression == unpacked twin") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.catalyst.InternalRow
+    val texts = Seq("", "one", "a b a b a", "The the THE tie",
+      "x y z x  punct, y! z?", ("w1 w2 w3 " * 50).trim)
+    texts.foreach { t =>
+      val u = UTF8String.fromString(t)
+      val un = graft.krep.KrepTermPositions.termPositions(u)
+      val pk = graft.krep.KrepTermPositionsPacked.packed(u)
+      assert(un.numElements() == pk.numElements(), s"'$t'")
+      (0 until un.numElements()).foreach { i =>
+        val ur = un.array(i).asInstanceOf[InternalRow]
+        val pr = pk.array(i).asInstanceOf[InternalRow]
+        assert(ur.getUTF8String(0) == pr.getUTF8String(0))
+        val pos = ur.getArray(1).asInstanceOf[GenericArrayData]
+          .array.map(_.asInstanceOf[Int])
+        assert(pr.getInt(1) == pos.length)
+        assert(java.util.Arrays.equals(pr.getBinary(2),
+          BlockCodec.packPositions(pos)))
+      }
+    }
+  }
+
   test("int varint roundtrip incl. boundaries") {
     val cases = Seq(
       Array(0, 1, 127, 128, 16383, 16384, Int.MaxValue),
