@@ -54,7 +54,9 @@ object EntryQueries {
       .toDF("rnk", "docId")
     engine.docsDf.join(broadcast(top), "docId")
       .select($"rnk".cast("int").as("rnk"),
-        substring($"url", 4, 8).cast("long").as("doc_id"))
+        // everything after the "doc" prefix — a fixed-width substring would
+        // silently truncate ids wider than the %08d format's minimum
+        expr("substring(url, 4)").cast("long").as("doc_id"))
       .orderBy($"rnk")
   }
 

@@ -93,7 +93,6 @@ object BlockCodec {
     buf.toByteArray
   }
 
-  /** Decode position lists; `tfs(i)` gives the i-th list's length. */
   /** One position list packed alone — the per-(doc, term) strip the build
     * pipeline shuffles instead of an ARRAY<INT>. Strips are independent
     * (delta state resets per list), so concatenating them in doc order is
@@ -102,6 +101,7 @@ object BlockCodec {
   def packPositions(xs: Array[Int]): Array[Byte] =
     encodePosLists(Array(xs))
 
+  /** Decode position lists; `tfs(i)` gives the i-th list's length. */
   def decodePosLists(bytes: Array[Byte], tfs: Array[Int]): Array[Array[Int]] = {
     val out = new Array[Array[Int]](tfs.length)
     var pos = 0

@@ -180,6 +180,7 @@ final class IceTable(val root: String, conf: Configuration) {
     if (!fs.exists(dir)) return Nil
     // union of the table's file lists across EVERY snapshot (old snapshots
     // stay queryable until their log entries are expired)
+    var committed = false // any snapshot has a step for this table at all
     val referenced: Set[String] = {
       val snapDir = new Path(root, "snapshots")
       if (!fs.exists(snapDir)) Set.empty
@@ -188,8 +189,10 @@ final class IceTable(val root: String, conf: Configuration) {
         val node = try mapper.readTree(in) finally in.close()
         val files = Vector.newBuilder[String]
         node.get("steps").forEach { s =>
-          if (s.get("name").asText() == table)
+          if (s.get("name").asText() == table) {
+            committed = true
             s.get("files").forEach(f => files += f.get("name").asText())
+          }
         }
         files.result()
       }.toSet
@@ -200,12 +203,15 @@ final class IceTable(val root: String, conf: Configuration) {
         if (st.isDirectory) walk(st.getPath, r) else Seq((st.getPath, r))
       }
     val dataFiles = walk(dir, "").filter(_._2.endsWith(".parquet"))
-    // committed-but-EMPTY table (every snapshot lists zero files): keep one
-    // parquet as the schema carrier — readSteps' empty-table fallback infers
-    // the schema from the directory footer and reads it with limit(0), so
-    // the kept rows can never leak
+    // committed-but-EMPTY table (a snapshot step exists but lists zero
+    // files): keep one parquet as the schema carrier — readSteps'
+    // empty-table fallback infers the schema from the directory footer and
+    // reads it with limit(0), so the kept rows can never leak. A table with
+    // NO snapshot step at all (e.g. orphans of a crashed never-committed
+    // first append) keeps nothing: every file is garbage
     val keep: Set[String] =
-      if (referenced.isEmpty) dataFiles.map(_._2).sorted.headOption.toSet
+      if (committed && referenced.isEmpty)
+        dataFiles.map(_._2).sorted.headOption.toSet
       else Set.empty
     val deleted = dataFiles.collect {
       case (path, rel) if !referenced(rel) && !keep(rel) =>

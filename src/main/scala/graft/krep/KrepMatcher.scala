@@ -72,8 +72,12 @@ final class KrepMatcher(val params: KrepParams) extends Serializable {
         if (wholeWord) s"(?<![A-Za-z0-9_])(?:$body)(?![A-Za-z0-9_])" else body
       // MULTILINE pins '^'/'$' to line boundaries — the reference compiles
       // POSIX ERE with REG_NEWLINE (krep.c:2148-2161), making anchors
-      // line-oriented ('.' already excludes '\n' in both engines)
-      val flags = Pattern.MULTILINE |
+      // line-oriented. UNIX_LINES narrows Java's line terminators (\r, \r\n,
+      // NEL u0085, LS u2028, PS u2029) to '\n' alone, which is all REG_NEWLINE
+      // recognizes — without it, CRLF text diverges ("foo\r\nbar": 'foo$'
+      // must NOT match, the line content is "foo\r"); it also aligns '.' to
+      // exclude only '\n'
+      val flags = Pattern.MULTILINE | Pattern.UNIX_LINES |
         (if (caseSensitive) 0 else Pattern.CASE_INSENSITIVE)
       Pattern.compile(wrapped, flags)
     } else null

@@ -295,33 +295,10 @@ object KrepTermPositionsPacked {
     StructField("tf", IntegerType, nullable = false),
     StructField("posv", BinaryType, nullable = false))), containsNull = false)
 
-  def packed(s: UTF8String): GenericArrayData = {
-    val toks = KrepTokenize.tokenize(s)
-    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val idx = new Array[Integer](toks.length)
-    var i = 0
-    while (i < toks.length) { idx(i) = i; i += 1 }
-    java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
-      val c = toks(a).compareTo(toks(b))
-      if (c != 0) c else Integer.compare(a, b)
-    })
-    val rows = new java.util.ArrayList[Any](toks.length / 2 + 1)
-    var runStart = 0
-    i = 1
-    while (i <= toks.length) {
-      if (i == toks.length || toks(idx(i)).compareTo(toks(idx(runStart))) != 0) {
-        val ps = new Array[Int](i - runStart)
-        var j = runStart
-        while (j < i) { ps(j - runStart) = idx(j); j += 1 }
-        rows.add(org.apache.spark.sql.catalyst.InternalRow(
-          toks(idx(runStart)), ps.length,
-          graft.index.BlockCodec.packPositions(ps)))
-        runStart = i
-      }
-      i += 1
-    }
-    new GenericArrayData(rows.toArray)
-  }
+  def packed(s: UTF8String): GenericArrayData =
+    KrepTermPositions.runRows(s)((t, ps) =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        t, ps.length, graft.index.BlockCodec.packPositions(ps)))
 }
 
 /** `size(krep_tokenize(text))` without the token array. */
@@ -402,10 +379,15 @@ object KrepTermPositions {
     StructField("pos", ArrayType(IntegerType, containsNull = false),
       nullable = false))), containsNull = false)
 
-  def termPositions(s: UTF8String): GenericArrayData = {
+  /** Shared (term, ascending ordinals) run walk — argsort by (term bytes,
+    * ordinal) — with a pluggable row payload. The packed and unpacked
+    * expressions MUST group identically (their equality is the index
+    * format's core invariant), so the pipeline lives once.
+    */
+  private[krep] def runRows(s: UTF8String)(
+      mk: (UTF8String, Array[Int]) => Any): GenericArrayData = {
     val toks = KrepTokenize.tokenize(s)
     if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
-    // argsort by (term bytes, ordinal): runs give (term, ascending positions)
     val idx = new Array[Integer](toks.length)
     var i = 0
     while (i < toks.length) { idx(i) = i; i += 1 }
@@ -421,14 +403,17 @@ object KrepTermPositions {
         val ps = new Array[Int](i - runStart)
         var j = runStart
         while (j < i) { ps(j - runStart) = idx(j); j += 1 }
-        rows.add(org.apache.spark.sql.catalyst.InternalRow(
-          toks(idx(runStart)), new GenericArrayData(ps)))
+        rows.add(mk(toks(idx(runStart)), ps))
         runStart = i
       }
       i += 1
     }
     new GenericArrayData(rows.toArray)
   }
+
+  def termPositions(s: UTF8String): GenericArrayData =
+    runRows(s)((t, ps) => org.apache.spark.sql.catalyst.InternalRow(
+      t, new GenericArrayData(ps)))
 }
 
 /** Column-API surface (the engine's user-facing DSL). */

@@ -84,6 +84,32 @@ object Mix64 {
   }
 }
 
+/** The ONE deterministic ±1 matrix scheme behind both SRP-LSH hyperplanes
+  * and IVF coarse centroids (SplitMix64 mixing), plus the left-to-right
+  * double dot fold every consumer — and every DuckDB oracle literal — must
+  * reproduce bit-exactly. One copy, or cross-engine parity drifts.
+  */
+object SignMatrix {
+  def apply(rows: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(rows, dim) { (j, i) =>
+      if ((Mix64(seed ^ (j.toLong << 32) ^ i.toLong) & 1L) == 1L) 1.0 else -1.0
+    }
+  def dot(v: ArrayData, row: Array[Double]): Double = {
+    val n = math.min(v.numElements(), row.length)
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += v.getFloat(i).toDouble * row(i); i += 1 }
+    d
+  }
+  def dot(q: Array[Float], row: Array[Double]): Double = {
+    val n = math.min(q.length, row.length)
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += q(i).toDouble * row(i); i += 1 }
+    d
+  }
+}
+
 /** Deterministic ±1 hyperplanes for sign-random-projection LSH, derived once
   * on the driver from SplitMix64 mixing and shipped as a reference object —
   * replacing the round-1 per-row × per-plane × per-element hash recompute
@@ -91,20 +117,13 @@ object Mix64 {
   */
 final class SrpPlanes(val nPlanes: Int, dim: Int, seed: Long)
     extends Serializable {
-  val planes: Array[Array[Double]] = Array.tabulate(nPlanes, dim) { (j, i) =>
-    if ((Mix64(seed ^ (j.toLong << 32) ^ i.toLong) & 1L) == 1L) 1.0 else -1.0
-  }
+  val planes: Array[Array[Double]] = SignMatrix(nPlanes, dim, seed)
   /** Bucket code: bit per plane = sign of the dot product. */
   def bucket(v: ArrayData): Long = {
     var code = 0L
     var j = 0
     while (j < nPlanes) {
-      val p = planes(j)
-      val n = math.min(v.numElements(), p.length)
-      var dot = 0.0
-      var i = 0
-      while (i < n) { dot += v.getFloat(i).toDouble * p(i); i += 1 }
-      code = code * 2 + (if (dot >= 0.0) 1L else 0L)
+      code = code * 2 + (if (SignMatrix.dot(v, planes(j)) >= 0.0) 1L else 0L)
       j += 1
     }
     code
@@ -155,9 +174,7 @@ case class SrpBucket(child: Expression, nPlanes: Int, dim: Int, seed: Long)
   */
 final class IvfCentroids(val nCells: Int, dim: Int, seed: Long)
     extends Serializable {
-  val centroids: Array[Array[Double]] = Array.tabulate(nCells, dim) { (j, i) =>
-    if ((Mix64(seed ^ (j.toLong << 32) ^ i.toLong) & 1L) == 1L) 1.0 else -1.0
-  }
+  val centroids: Array[Array[Double]] = SignMatrix(nCells, dim, seed)
   /** Coarse cell = argmax_j dot(v, centroid_j); strict-greater keeps the
     * FIRST maximal cell (ties → lowest index, mirrored by the oracle's
     * array_position-of-max).
@@ -167,10 +184,7 @@ final class IvfCentroids(val nCells: Int, dim: Int, seed: Long)
     var bestDot = Double.NegativeInfinity
     var j = 0
     while (j < nCells) {
-      val c = centroids(j)
-      var dot = 0.0
-      var i = 0
-      while (i < c.length) { dot += v.getFloat(i).toDouble * c(i); i += 1 }
+      val dot = SignMatrix.dot(v, centroids(j))
       if (dot > bestDot) { bestDot = dot; best = j }
       j += 1
     }
@@ -181,13 +195,7 @@ final class IvfCentroids(val nCells: Int, dim: Int, seed: Long)
     * order as [[cell]].
     */
   def probeCells(q: Array[Float], nProbe: Int): Array[Int] = {
-    val dots = Array.tabulate(nCells) { j =>
-      val c = centroids(j)
-      var dot = 0.0
-      var i = 0
-      while (i < c.length) { dot += q(i).toDouble * c(i); i += 1 }
-      dot
-    }
+    val dots = Array.tabulate(nCells)(j => SignMatrix.dot(q, centroids(j)))
     (0 until nCells).sortBy(j => (-dots(j), j)).take(nProbe).toArray
   }
 }

@@ -135,19 +135,12 @@ final class QueryEngine(spark: SparkSession, root: String,
   /** Sized executor for driver-side per-segment parallel work: bounded by the
     * session's advertised parallelism, shared across queries — the serving
     * tier stays predictable under concurrent phrase load instead of
-    * oversubscribing cores through the unbounded global pool.
+    * oversubscribing cores through the unbounded global pool. Pools live in
+    * the companion, keyed by size, so engine churn (a new engine per
+    * snapshot refresh is the documented pattern) never accumulates threads.
     */
   @transient private lazy val segmentPool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(2, spark.sparkContext.defaultParallelism),
-      new java.util.concurrent.ThreadFactory {
-        private val n = new java.util.concurrent.atomic.AtomicInteger
-        def newThread(r: Runnable): Thread = {
-          val t = new Thread(r, s"graft-segments-${n.incrementAndGet()}")
-          t.setDaemon(true)
-          t
-        }
-      })
+    QueryEngine.segmentPool(math.max(2, spark.sparkContext.defaultParallelism))
 
   private def ensureDictCache(): Map[String, (Long, Long)] = {
     if (dictCache == null) synchronized {
@@ -500,4 +493,21 @@ final class QueryEngine(spark: SparkSession, root: String,
 
 object QueryEngine {
   final case class TermMeta(termIdx: Int, termId: Long, df: Long, idf: Double)
+
+  /** JVM-wide per-size daemon pools for driver-side segment work — engines
+    * come and go with snapshots, threads must not.
+    */
+  private val pools =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ExecutorService]
+  private[query] def segmentPool(size: Int): java.util.concurrent.ExecutorService =
+    pools.computeIfAbsent(size, n =>
+      java.util.concurrent.Executors.newFixedThreadPool(n,
+        new java.util.concurrent.ThreadFactory {
+          private val c = new java.util.concurrent.atomic.AtomicInteger
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-segments-$n-${c.incrementAndGet()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
 }

@@ -122,6 +122,16 @@ class KrepMatcherSpec extends AnyFunSuite {
     assert(count("a\nb\nc", Seq("^[a-z]$"), re = true, ov = false) == 3)
     // zero-width assertions on plain text (test_regex.c:223-230 accepts 1..2)
     assert(count("abcdef", Seq("^|$"), re = true, ov = false) == 2)
+    // REG_NEWLINE recognizes ONLY '\n' as a line break (UNIX_LINES): a CRLF
+    // line's content is "foo\r", so 'foo$' must NOT match, and '\r' is no
+    // line start for '^'
+    assert(count("foo\r\nbar", Seq("foo$"), re = true, ov = false) == 0)
+    assert(count("foo\r\nbar", Seq("bar$"), re = true, ov = false) == 1)
+    assert(count("a\rb", Seq("^b"), re = true, ov = false) == 0)
+    assert(count("a\rb", Seq("a$"), re = true, ov = false) == 0)
+    // '.' excludes '\n' but matches '\r' (REG_NEWLINE '.' excludes only
+    // the newline byte)
+    assert(count("a\rb\na", Seq("a.b"), re = true, ov = false) == 1)
   }
   test("regex empty-text edge cases") {
     assert(count("", Seq("^$"), re = true, ov = false) == 1)

@@ -130,6 +130,21 @@ class StreamingIndexerSpec extends AnyFunSuite {
     assert(df.count() == 0L)
   }
 
+  test("vacuum of a never-committed table deletes every orphan") {
+    import graft.index.IceTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-vac2-").toString
+    val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
+    // a crashed first append wrote data but NO snapshot mentions the table:
+    // nothing is a schema carrier, everything is garbage
+    Seq((1L, "a")).toDF("id", "v").write.parquet(ice.tablePath("orphan"))
+    val deleted = ice.vacuum("orphan")
+    assert(deleted.nonEmpty)
+    val left = new java.io.File(ice.tablePath("orphan"))
+    assert(!left.exists() ||
+      !left.listFiles().exists(_.getName.endsWith(".parquet")))
+  }
+
   test("readStream → watermark → dropDuplicates → foreachBatch end-to-end") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft-in-").toString
