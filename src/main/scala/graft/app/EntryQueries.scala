@@ -25,10 +25,22 @@ object EntryQueries {
     * source doc_id zero-padded, so dense docId assignment (ordered by url)
     * preserves doc_id order and results map back by parsing the url.
     */
+  // Keyed by (session, dir): a QueryEngine captures its SparkSession, so a
+  // cache keyed by dir alone would hand a later session an engine bound to a
+  // possibly-stopped one. Temp index dirs are registered for deletion at JVM
+  // exit so repeated Bench/Verify runs don't accumulate under /tmp.
   private val engineCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.query.QueryEngine]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.query.QueryEngine]
+  private def deleteRecursivelyOnExit(root: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+    }))
   private def indexEngine(s: SparkSession, dir: String): graft.query.QueryEngine =
-    engineCache.computeIfAbsent(dir, _ => {
+    engineCache.computeIfAbsent((s, dir), _ => {
       import s.implicits._
       val pages = t(s, dir, "documents").select(
         format_string("doc%08d", $"doc_id").as("url"),
@@ -36,6 +48,7 @@ object EntryQueries {
         encode($"text", "UTF-8").as("html"),
         $"text", $"lang").as[graft.corpus.Page]
       val root = java.nio.file.Files.createTempDirectory("graft-entryidx-").toString
+      deleteRecursivelyOnExit(root)
       new graft.index.IndexBuilder(s, root,
         graft.index.IndexConfig(blockSize = 64, docsPerSegment = 512,
           partitions = 8)).build(pages)
@@ -62,6 +75,27 @@ object EntryQueries {
 
   private val enStop = Seq("the", "a", "and", "of", "to")
   private val deStop = Seq("der", "die", "das", "und", "ist")
+
+  /** MinHash-banded LSH candidate pairs from a (doc_id, sig) relation:
+    * explode to (band, bhash, doc_id), self-equi-join on (band, bhash), and
+    * dedup BARE (id_a, id_b). Only ids ride the band-join and dedup
+    * exchanges — at 100 TB the 32-slot signature arrays (~256 B/row) would
+    * otherwise double-ship through the widest shuffle; callers join sig /
+    * shingle payloads back for the deduped survivors only.
+    */
+  private def minhashBandPairs(d: DataFrame, bands: Int, rows: Int): DataFrame = {
+    import d.sparkSession.implicits._
+    val banded = d.select($"doc_id",
+      posexplode(array((0 until bands).map(b =>
+        TextOps.bandHashPoly($"sig", b, rows)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+    banded.select($"band", $"bhash", $"doc_id".as("id_a"))
+      .join(banded.select($"band", $"bhash", $"doc_id".as("id_b")),
+        Seq("band", "bhash"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core -------------------------------------------------
@@ -319,14 +353,25 @@ object EntryQueries {
     }),
     "ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val d = t(s, dir, "documents")
-        .select($"doc_id", TextOps.shingles($"text", 3).as("sh"))
-      val a = d.select($"doc_id".as("id_a"), $"sh".as("sa"))
-      val b = d.select($"doc_id".as("id_b"), $"sh".as("sb"))
-      a.join(b, $"id_b" === $"id_a" + 1)
+      // Scalable pair generation: MinHash-banded LSH candidates (bare-id
+      // band equi-join, no all-pairs), then EXACT n-gram Jaccard rescoring
+      // of the deduped survivors — the shingle sets join back only for the
+      // candidate pairs, never through the band-join exchange.
+      val docs = t(s, dir, "documents")
+      val hashed = docs
+        .select($"doc_id", TextOps.shingleHashesPoly($"text").as("hs"))
+        .persist() // barrier vs CollapseProject re-inlining (see minhash_pairs)
+      val d = hashed.select($"doc_id",
+        TextOps.minhashPolyFromHashes($"hs", k = 32).as("sig"))
+        .persist()
+      val sh = docs
+        .select($"doc_id", TextOps.shingles($"text", 3).as("sh")).persist()
+      minhashBandPairs(d, bands = 8, rows = 4)
+        .join(sh.select($"doc_id".as("id_a"), $"sh".as("sa")), "id_a")
+        .join(sh.select($"doc_id".as("id_b"), $"sh".as("sb")), "id_b")
         .select($"id_a", $"id_b",
           TextOps.jaccardBps($"sa", $"sb").as("j_bps"))
-        .orderBy($"id_a")
+        .orderBy($"id_a", $"id_b")
     }),
     "minhash_pairs" -> ((s, dir) => { // PolyHash variant — full DuckDB oracle
       import s.implicits._
@@ -342,22 +387,18 @@ object EntryQueries {
       val d = hashed.select($"doc_id",
         TextOps.minhashPolyFromHashes($"hs", k = bands * rows).as("sig"))
         .persist()
-      val banded = d.select($"doc_id", $"sig",
-        posexplode(array((0 until bands).map(b =>
-          TextOps.bandHashPoly($"sig", b, rows)): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
-      val l = banded.select($"band", $"bhash", $"doc_id".as("id_a"), $"sig".as("sig_a"))
-      val r = banded.select($"band", $"bhash", $"doc_id".as("id_b"), $"sig".as("sig_b"))
-      // estimate in the join projection (deterministic per pair), filter to
-      // near-dups, THEN dedup — the wide signature arrays never shuffle
-      l.join(r, Seq("band", "bhash")).filter($"id_a" < $"id_b")
+      // candidate pairs move bare ids through the band join; the 32-slot
+      // signature arrays join back ONLY for the deduped survivors, so the
+      // widest exchange carries (band, bhash, id) and nothing else
+      minhashBandPairs(d, bands, rows)
+        .join(d.select($"doc_id".as("id_a"), $"sig".as("sig_a")), "id_a")
+        .join(d.select($"doc_id".as("id_b"), $"sig".as("sig_b")), "id_b")
         .select($"id_a", $"id_b",
           (aggregate(zip_with($"sig_a", $"sig_b",
             (x, y) => when(x === y, 1L).otherwise(0L)),
             lit(0L), (acc, v) => acc + v) * 10000L / size($"sig_a"))
             .cast("long").as("est_bps"))
         .filter($"est_bps" >= 7000L)
-        .dropDuplicates("id_a", "id_b")
         .orderBy($"id_a", $"id_b")
     }),
     // canonical simhash: the PolyHash scheme, fully value-oracled in DuckDB
@@ -662,17 +703,22 @@ object EntryQueries {
         """SELECT lang, source, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_cnt
           |FROM documents GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
       "ngram_jaccard" ->
-        s"""WITH t AS (SELECT doc_id,
-           |  list_distinct(CASE WHEN len($ltoks) >= 3 THEN
-           |    list_transform(range(1, len($ltoks)-1),
-           |      i -> $ltoks[i] || ' ' || $ltoks[i+1] || ' ' || $ltoks[i+2])
-           |  ELSE [] END) AS sh FROM documents),
-           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
-           |      FROM t a JOIN t b ON b.doc_id = a.doc_id + 1)
+        s"""WITH d AS (SELECT doc_id, $shingles AS sh FROM documents),
+           |h AS (SELECT doc_id, list_transform(sh, s -> ${ph("s")}) AS hs FROM d),
+           |sig AS (SELECT doc_id, $sigEntries AS sig FROM h),
+           |banded AS (SELECT doc_id, b AS band,
+           |  list_reduce(list_transform(range(b*4+1, b*4+5), j -> sig[j]),
+           |    (x, y) -> (x*131 + y) % $P) AS bhash
+           |  FROM sig, unnest([0,1,2,3,4,5,6,7]) AS t(b)),
+           |p AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+           |  FROM banded a JOIN banded bb
+           |  ON a.band = bb.band AND a.bhash = bb.bhash AND a.doc_id < bb.doc_id),
+           |j AS (SELECT id_a, id_b, list_distinct(da.sh) AS sa, list_distinct(db.sh) AS sb
+           |  FROM p JOIN d da ON da.doc_id = p.id_a JOIN d db ON db.doc_id = p.id_b)
            |SELECT id_a, id_b, CASE WHEN len(sa)+len(sb) = 0 THEN 0 ELSE
            |  CAST((10000 * len(list_filter(sa, x -> list_contains(sb, x))))
            |  // (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))) AS BIGINT)
-           |END AS j_bps FROM p ORDER BY id_a""".stripMargin,
+           |END AS j_bps FROM j ORDER BY id_a, id_b""".stripMargin,
       "minhash_pairs" ->
         s"""WITH d AS (SELECT doc_id, $shingles AS sh FROM documents),
            |h AS (SELECT doc_id, list_transform(sh, s -> ${ph("s")}) AS hs FROM d),

@@ -102,17 +102,47 @@ final class KrepMatcher(val params: KrepParams) extends Serializable {
   def foreachMatch(s: UTF8String)(onMatch: (Int, Int, Int) => Boolean): Unit = {
     if (regex) {
       val str = s.toString
-      val m = (if (str.isEmpty) emptyTextRegex else javaRegex).matcher(str)
-      var from = 0
-      var go = true
-      while (go && from <= str.length && m.find(from)) {
-        // byte offsets == char offsets only for ASCII; regex path reports
-        // CHAR offsets (documented; literal path reports byte offsets)
-        go = onMatch(m.start, m.end, 0)
-        // zero-length match must advance by one (reference krep.c:1543-1549)
-        from = if (m.end == m.start) m.end + 1
-        else if (overlapping) m.start + 1
-        else m.end
+      if (str.isEmpty) {
+        // reference special-case (krep.c:1403-1416): empty haystack probes
+        // the pattern against "" once, un-MULTILINE (JDK quirk: MULTILINE
+        // "^$" never matches inside empty input; POSIX does, once)
+        val m = emptyTextRegex.matcher(str)
+        if (m.find()) onMatch(m.start, m.end, 0)
+      } else {
+        // The reference loop (krep.c:1427-1560) never starts a search window
+        // at the very end of the text (`while (rem > 0 ...)`), so a match at
+        // position len is counted ONLY when an earlier window's first match
+        // lands there ("$" on "a\n" counts 1 at [1,1), not also [2,2); "x*"
+        // on "ab" counts 2, not 3). Java's find() probes position len
+        // itself, so the loop guard here is `from < length`, not `<=`.
+        val m = javaRegex.matcher(str)
+        var from = 0
+        var go = true
+        var exhausted = false
+        while (go && from < str.length && { exhausted = !m.find(from); !exhausted }) {
+          // byte offsets == char offsets only for ASCII; regex path reports
+          // CHAR offsets (documented; literal path reports byte offsets)
+          go = onMatch(m.start, m.end, 0)
+          // zero-length match must advance by one (reference krep.c:1543-1549)
+          from = if (m.end == m.start) m.end + 1
+          else if (overlapping) m.start + 1
+          else m.end
+        }
+        // POSIX REG_NEWLINE treats text ending in '\n' as having a final
+        // EMPTY line: glibc finds "^$" at the position after the last
+        // newline from a window that STARTED earlier, but JDK MULTILINE '^'
+        // never matches at end-of-input. If the JDK search exhausted the
+        // text without reaching len, probe that one empty position with the
+        // un-MULTILINE twin in an anchoring region (region bounds make
+        // '^'/'$' match at region edges — exactly the empty-line anchor
+        // semantics; glibc ground truth: "^$" on "a\n" = 1 at [2,2), while
+        // "^$" on "a\n\n" = 1 at [2,2) only, because the zero-length
+        // advance exits the loop at len — which `exhausted` mirrors).
+        if (go && exhausted && str.charAt(str.length - 1) == '\n') {
+          val m2 = emptyTextRegex.matcher(str)
+          m2.region(str.length, str.length)
+          if (m2.find()) onMatch(m2.start, m2.end, 0)
+        }
       }
     } else {
       val bytes = s.getBytes

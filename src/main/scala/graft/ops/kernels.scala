@@ -172,9 +172,12 @@ case class SrpBucket(child: Expression, nPlanes: Int, dim: Int, seed: Long)
   * and the deterministic matrix lets the DuckDB oracle reproduce cell
   * assignment exactly (same literals, same double fold).
   */
-final class IvfCentroids(val nCells: Int, dim: Int, seed: Long)
+final class IvfCentroids private (val centroids: Array[Array[Double]])
     extends Serializable {
-  val centroids: Array[Array[Double]] = SignMatrix(nCells, dim, seed)
+  /** Deterministic ±1 matrix mode — the DuckDB-oracle-reproducible default. */
+  def this(nCells: Int, dim: Int, seed: Long) =
+    this(SignMatrix(nCells, dim, seed))
+  val nCells: Int = centroids.length
   /** Coarse cell = argmax_j dot(v, centroid_j); strict-greater keeps the
     * FIRST maximal cell (ties → lowest index, mirrored by the oracle's
     * array_position-of-max).
@@ -198,6 +201,19 @@ final class IvfCentroids(val nCells: Int, dim: Int, seed: Long)
     val dots = Array.tabulate(nCells)(j => SignMatrix.dot(q, centroids(j)))
     (0 until nCells).sortBy(j => (-dots(j), j)).take(nProbe).toArray
   }
+}
+
+object IvfCentroids {
+  /** Wrap an explicit centroid matrix (e.g. trained by
+    * [[AnnOps.trainIvfCentroids]]). Argmax-of-dot equals nearest-by-cosine
+    * only when all rows share a norm, so every row is L2-normalized here
+    * (zero rows are left as-is — they lose every strict-greater argmax).
+    */
+  def fromMatrix(m: Array[Array[Double]]): IvfCentroids =
+    new IvfCentroids(m.map { row =>
+      val n = math.sqrt(row.foldLeft(0.0)((a, x) => a + x * x))
+      if (n > 0.0) row.map(_ / n) else row.clone()
+    })
 }
 
 /** IVF coarse-cell assignment of an ARRAY<FLOAT> vector (codegen'd).
@@ -227,6 +243,36 @@ case class IvfCell(child: Expression, nCells: Int, dim: Int, seed: Long)
   override protected def withNewChildInternal(c2: Expression): IvfCell =
     copy(child = c2)
   override def prettyName: String = "ivf_cell"
+}
+
+/** IVF coarse-cell assignment against an EXPLICIT centroid set (e.g.
+  * k-means-trained via [[AnnOps.trainIvfCentroids]]) — same codegen shape
+  * and NULL-on-wrong-dimension contract as [[IvfCell]]. Centroid equality is
+  * reference-based for Catalyst comparisons, which is sound (at worst
+  * over-conservative) for CSE and plan canonicalization.
+  */
+case class IvfCellOf(child: Expression, cents: IvfCentroids, dim: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != dim) null else cents.cell(a)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCentroids", cents, classOf[IvfCentroids].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $ref.cell($v);
+         |}""".stripMargin)
+  }
+  override protected def withNewChildInternal(c2: Expression): IvfCellOf =
+    copy(child = c2)
+  override def prettyName: String = "ivf_cell_of"
 }
 
 /** Polynomial string hash h = fold(bytes)((acc * 131 + byte) mod (2^31-1)) —
@@ -269,4 +315,7 @@ object kernels {
   def ivf_cell(v: Column, nCells: Int, dim: Int, seed: Long): Column =
     GraftSqlBridge.column(IvfCell(
       GraftSqlBridge.expression(v), nCells, dim, seed))
+  def ivf_cell_of(v: Column, cents: IvfCentroids, dim: Int): Column =
+    GraftSqlBridge.column(IvfCellOf(
+      GraftSqlBridge.expression(v), cents, dim))
 }

@@ -137,6 +137,28 @@ class KrepMatcherSpec extends AnyFunSuite {
     assert(count("", Seq("^$"), re = true, ov = false) == 1)
     assert(count("", Seq("."), re = true, ov = false) == 0)
   }
+  test("final-empty-line + end-window parity with the reference loop " +
+      "(krep.c:1427-1560; glibc REG_NEWLINE ground truth)") {
+    // text ending in '\n' has a final EMPTY line: '^'-anchored patterns
+    // match once more there (glibc finds it from an earlier window; the JDK
+    // needs the anchoring-region probe)
+    assert(count("a\n", Seq("^$"), re = true, ov = false) == 1)
+    assert(count("a\n", Seq("^"), re = true, ov = false) == 2)
+    assert(count("\n", Seq("^$"), re = true, ov = false) == 1)
+    // ...but the reference's zero-length advance EXITS at len, so a match
+    // consumed mid-text doesn't re-probe the end: "a\n\n" stays at 1
+    assert(count("a\n\n", Seq("^$"), re = true, ov = false) == 1)
+    assert(count("a\n\n", Seq("^"), re = true, ov = false) == 2)
+    // the reference never starts a search window at position len, so
+    // trailing empty matches the JDK would find there don't count
+    assert(count("a\n", Seq("$"), re = true, ov = false) == 1)
+    assert(count("a\n\n", Seq("$"), re = true, ov = false) == 2)
+    assert(count("a\n", Seq("x*"), re = true, ov = false) == 2)
+    assert(count("ab", Seq("x*"), re = true, ov = false) == 2)
+    // no trailing newline -> no final empty line
+    assert(count("a", Seq("^$"), re = true, ov = false) == 0)
+    assert(count("a\nb", Seq("^$"), re = true, ov = false) == 0)
+  }
   test("regex backtracking stress a*a*...b") {
     val t = "a" * 31 + "b"
     assert(count(t, Seq("a*a*a*a*a*b"), re = true, ov = false) == 1)

@@ -165,6 +165,44 @@ class AnnRecallSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("trained IVF centroids: recall@10 >= deterministic matrix on clustered data") {
+    import spark.implicits._
+    // clustered fixture: 600 points scattered tightly (cos ~0.99) around 8
+    // near-orthogonal random directions — the data shape where k-means
+    // refinement should beat the data-blind sign matrix
+    val nClusters = 8
+    val centers = (0 until nClusters).map(c =>
+      Array.tabulate(dim)(d => u(900000L + c * 7700 + d)))
+    val pts = (0 until 600).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, Array.tabulate(dim)(d => c(d) + 0.15f * u(31337L + i * 100 + d)))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val trained = AnnOps.trainIvfCentroids(df, "vec_id", "embedding",
+      nCells = nClusters, dim = dim)
+    // training must be deterministic (fixed sample order, init, fold)
+    val again = AnnOps.trainIvfCentroids(df, "vec_id", "embedding",
+      nCells = nClusters, dim = dim)
+    assert(trained.centroids.flatten.toSeq == again.centroids.flatten.toSeq)
+    val queries = Seq(5, 42, 137, 300, 571)
+    val recalls = queries.map { qi =>
+      val q = pts(qi)._2
+      val brute = AnnOps.bruteForceTopK(df, "vec_id", "embedding", q, 10)
+        .as[(Long, Double)].collect().map(_._1).toSeq
+      def recall(r: Seq[Long]) = brute.count(r.contains) / 10.0
+      val det = AnnOps.ivfTopK(df, "vec_id", "embedding", q, 10,
+        nCells = nClusters, nProbe = 2).as[(Long, Double)].collect().map(_._1).toSeq
+      val tr = AnnOps.ivfTopKWith(df, "vec_id", "embedding", q, 10,
+        trained, nProbe = 2).as[(Long, Double)].collect().map(_._1).toSeq
+      (recall(tr), recall(det))
+    }
+    val (trMean, detMean) =
+      (recalls.map(_._1).sum / recalls.size, recalls.map(_._2).sum / recalls.size)
+    assert(trMean >= detMean,
+      s"trained recall $trMean below deterministic $detMean")
+    assert(trMean >= 0.8, s"trained recall too low: $trMean (per-query $recalls)")
+  }
+
   test("brute-force top-k ranks a near-duplicate's source first") {
     import spark.implicits._
     val df = vectors.toDF("vec_id", "embedding")

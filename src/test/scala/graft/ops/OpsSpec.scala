@@ -22,6 +22,57 @@ class OpsSpec extends AnyFunSuite {
     assert(viaAgg == viaSort)
   }
 
+  test("minhash/jaccard band joins move bare ids — signatures join back post-dedup") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join, LogicalPlan}
+    import spark.implicits._
+    // tiny documents fixture with planted near-duplicates so the banded
+    // join yields candidates
+    val texts = Seq(
+      "spark window table merge join filter scan batch stream value alpha beta",
+      "spark window table merge join filter scan batch stream value alpha gamma",
+      "completely different words here about nothing in particular today folks",
+      "spark window table merge join filter scan batch stream value alpha beta",
+      "unrelated content full of other terms like zeta eta theta iota kappa mu")
+    val dir = java.nio.file.Files.createTempDirectory("graft-minhash-fixture-").toString
+    try {
+      (0 until 20).map(i => (i.toLong, texts(i % texts.length)))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      for (qname <- Seq("minhash_pairs", "ngram_jaccard")) {
+        val df = graft.app.EntryQueries.queries(qname)(spark, dir)
+        val plan = df.queryExecution.optimizedPlan
+        val dedups: Seq[LogicalPlan] = plan.collect {
+          case d: Deduplicate => d
+          case a: Aggregate if a.groupingExpressions.nonEmpty &&
+            a.groupingExpressions.flatMap(_.references.map(_.name)).toSet ==
+              Set("id_a", "id_b") => a
+        }
+        assert(dedups.nonEmpty, s"$qname: no bare-pair dedup in plan")
+        dedups.foreach { d =>
+          assert(d.output.map(_.name).toSet == Set("id_a", "id_b"),
+            s"$qname: pair dedup carries extra columns: ${d.output.map(_.name).mkString(",")}")
+          // every join at or below the dedup is the band join — it must not
+          // ship signature or shingle payloads through its exchange
+          d.collect { case j: Join => j }.foreach { j =>
+            val names = j.output.map(_.name)
+            assert(!names.exists(n => n.startsWith("sig") || n.startsWith("sh") ||
+                n.startsWith("sa") || n.startsWith("sb")),
+              s"$qname: band join carries payloads: ${names.mkString(",")}")
+          }
+        }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist())
+      }
+      // functional: identical planted texts are found with exact j_bps 10000
+      val j = graft.app.EntryQueries.queries("ngram_jaccard")(spark, dir)
+        .as[(Long, Long, Long)].collect()
+      assert(j.contains((0L, 3L, 10000L)), s"identical pair missing: ${j.take(20).toSeq}")
+      assert(j.forall { case (a, b, bps) => a < b && bps >= 0 && bps <= 10000 })
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist())
+    } finally {
+      graft.Bench.deleteRec(dir)
+    }
+  }
+
   test("multimodal feature extraction is deterministic and batched") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
