@@ -92,7 +92,10 @@ object KrepExtensions {
 object SimplifyKrepContains extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case KrepContains(child, KrepParams(Seq(p), true, false, _, false, max))
+      // an explicit kernel override ("ac"/"scan") pins the krep kernel, so
+      // the intrinsic rewrite stands down — the --algo contract is that the
+      // FORCED kernel executes (krep.c:1786-1795)
+      case KrepContains(child, KrepParams(Seq(p), true, false, _, false, max, "auto"))
           if max > 0 && p.nonEmpty =>
         Contains(child, Literal(UTF8String.fromString(p), StringType))
     }

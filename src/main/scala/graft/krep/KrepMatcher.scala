@@ -26,6 +26,17 @@ import scala.collection.mutable.ArrayBuffer
   *    which is likewise ASCII-only.
   *  - `maxCount` — stop after N matches (lines for countLines), the `-m`
   *    limiter enforced inside every reference kernel (krep.c:1366-1367).
+  *  - `algo` — PHYSICAL kernel override, the `--algo {auto,bm,kmp}` analog
+  *    (krep.c:3683-3694, selector krep.c:1786-1795). Forces which kernel
+  *    executes, for benchmarking and differential proof: "auto" (selector
+  *    picks), "ac" (Aho-Corasick even for a single literal), "scan" (the
+  *    byte scan, and the contains-intrinsic rewrite stands down). Semantics
+  *    are identical across kernels except one reference-faithful edge: on a
+  *    FAILED whole-word check the scan resumes past the match (the KMP rule,
+  *    krep.c:1684-1688) while AC keeps scanning overlapped candidates (the
+  *    BMH bad-char rule, krep.c:1323-1329) — observable only for wholeWord
+  *    patterns containing non-word bytes, where the reference's own --algo
+  *    diverges the same way.
   */
 final case class KrepParams(
     patterns: Seq[String],
@@ -33,9 +44,12 @@ final case class KrepParams(
     wholeWord: Boolean = false,
     overlapping: Boolean = true,
     regex: Boolean = false,
-    maxCount: Long = Long.MaxValue) {
+    maxCount: Long = Long.MaxValue,
+    algo: String = "auto") {
   require(patterns.nonEmpty, "at least one pattern required")
   require(patterns.size <= 1024, "reference caps patterns at 1024 (krep.c:3571)")
+  require(Set("auto", "ac", "scan")(algo),
+    s"unknown algo '$algo' — valid: auto, ac, scan (reference krep.c:3691)")
 }
 
 /** Compiled matcher: one instance per expression, built lazily on each
@@ -53,16 +67,31 @@ final class KrepMatcher(val params: KrepParams) extends Serializable {
   import params._
 
   // ---- compiled artifacts -------------------------------------------------
+  // kernel selection (krep.c:1771-1870 select_search_algorithm, with the
+  // --algo override checked first, krep.c:1786-1795): a single literal takes
+  // the byte scan unless algo forces AC; multi-pattern always takes AC
+  // ("scan"/"auto" on a multi-pattern set fall back to AC, exactly as the
+  // reference's bm/kmp override silently yields to the multi-pattern path);
+  // regex ignores the override on both sides
   private val singleLiteral: Array[Byte] =
-    if (!regex && patterns.size == 1) {
+    if (!regex && patterns.size == 1 && algo != "ac") {
       val b = patterns.head.getBytes("UTF-8")
       if (caseSensitive) b else AsciiFold.foldBytes(b)
     } else null
 
   private val ac: AhoCorasick =
-    if (!regex && patterns.size > 1)
+    if (!regex && (patterns.size > 1 || algo == "ac"))
       AhoCorasick.build(patterns.map(_.getBytes("UTF-8")), caseSensitive)
     else null
+
+  /** Which physical kernel this matcher compiled to — the observable half of
+    * the `--algo` analog (semantics are identical across kernels; the
+    * differential spec proves it).
+    */
+  def kernelName: String =
+    if (regex) "regex"
+    else if (singleLiteral != null) "literal-scan"
+    else "aho-corasick"
 
   @transient private lazy val javaRegex: Pattern =
     if (regex) {

@@ -100,6 +100,16 @@ class KrepExtensionsSpec extends AnyFunSuite {
     val folded = Seq("abc", "xbx").toDF("t")
       .filter(K.krep_contains($"t", "b")).count()
     assert(folded == 2)
+
+    // --algo analog: a forced kernel pins krep_contains — the intrinsic
+    // rewrite stands down, and results are unchanged
+    for (algo <- Seq("ac", "scan")) {
+      val forced = df.filter(K.krep_contains($"p_name",
+        KrepParams(Seq("an"), algo = algo)))
+      assert(forced.queryExecution.optimizedPlan.toString.contains("krep_contains"),
+        s"algo=$algo must keep the krep kernel")
+      assert(forced.count() == simple.count(), s"algo=$algo changed results")
+    }
   }
 
   test("rewritten contains reaches the parquet scan as a pushed filter") {

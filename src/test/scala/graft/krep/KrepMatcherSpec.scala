@@ -173,6 +173,41 @@ class KrepMatcherSpec extends AnyFunSuite {
     assert(count(t, Seq("8080|443"), re = true, ov = false) == 2)
   }
 
+  // --- kernel override, the --algo analog (krep.c:3683-3694) ---
+  test("forced kernels compile as forced and are semantically identical") {
+    def m(pats: Seq[String], algo: String, cs: Boolean = true,
+        ww: Boolean = false, ov: Boolean = true) =
+      new KrepMatcher(KrepParams(pats, caseSensitive = cs, wholeWord = ww,
+        overlapping = ov, algo = algo))
+    // the override really forces the kernel (selector krep.c:1786-1795)
+    assert(m(Seq("aba"), "auto").kernelName == "literal-scan")
+    assert(m(Seq("aba"), "scan").kernelName == "literal-scan")
+    assert(m(Seq("aba"), "ac").kernelName == "aho-corasick")
+    // multi-pattern yields to AC regardless, like the reference's bm/kmp
+    assert(m(Seq("a", "b"), "scan").kernelName == "aho-corasick")
+    assertThrows[IllegalArgumentException](m(Seq("a"), "bogus"))
+    // forced AC == auto byte scan across every flag combination
+    val texts = Seq("ababababa", "the quick brown The THE fox the end", "",
+      "aaaa", "AbAbA", "x" * 100 + "aba", "aba ab aba_aba (aba)")
+    for {
+      t <- texts; pat <- Seq("aba", "the", "a")
+      ov <- Seq(true, false); cs <- Seq(true, false); ww <- Seq(true, false)
+    } {
+      val s = UTF8String.fromString(t)
+      val auto = m(Seq(pat), "auto", cs, ww, ov)
+      val ac = m(Seq(pat), "ac", cs, ww, ov)
+      val label = s"'$t' pat=$pat ov=$ov cs=$cs ww=$ww"
+      assert(auto.count(s) == ac.count(s), s"count: $label")
+      val pa = auto.positions(s); val pb = ac.positions(s)
+      assert(pa.numElements() == pb.numElements(), s"positions size: $label")
+      (0 until pa.numElements()).foreach { i =>
+        val ra = pa.getStruct(i, 3); val rb = pb.getStruct(i, 3)
+        assert(ra.getInt(0) == rb.getInt(0) && ra.getInt(1) == rb.getInt(1),
+          s"position $i: $label")
+      }
+    }
+  }
+
   // --- binary-safe (test/test_krep.c:1201-1207, 1375-1405) ---
   test("NUL-laden text is searchable byte-wise") {
     val bytes = new Array[Byte](1024)
