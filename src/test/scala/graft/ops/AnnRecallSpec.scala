@@ -165,6 +165,45 @@ class AnnRecallSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("assignCells + partitionBy: a probe reads only the probed cell partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = vectors.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-part-").toString
+    try {
+      // the 100 TB build step: write the corpus partitioned by coarse cell
+      AnnOps.assignCells(df, "embedding", nCells = 8, dim = dim)
+        .write.partitionBy("ivf_cell").mode("overwrite").parquet(dir)
+      val table = spark.read.parquet(dir)
+      val q = vectors(nBase + 3)._2
+      val cents = new IvfCentroids(8, dim, 7L)
+      val probed = cents.probeCells(q, 2).toSeq
+      val pruned = table.filter($"ivf_cell".isin(probed.map(Int.box): _*))
+      pruned.collect()
+      val scan = pruned.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }.head
+      // the filter must land in PartitionFilters (source pruning), and the
+      // scan must touch strictly fewer files than the table has
+      assert(scan.partitionFilters.nonEmpty,
+        "ivf_cell filter did not reach PartitionFilters")
+      val filesRead = scan.metrics("numFiles").value
+      assert(filesRead < table.inputFiles.length,
+        s"no pruning: read $filesRead of ${table.inputFiles.length} files")
+      // and the pruned scan answers the probe identically to the on-the-fly
+      // cell computation (AnnOps.ivfTopK at the same probe set)
+      val viaPartitioned = pruned
+        .select($"vec_id", AnnOps.cosine($"embedding",
+          typedLit(q.toSeq)).as("sim"))
+        .orderBy(desc("sim"), $"vec_id").limit(10)
+        .as[(Long, Double)].collect().toSeq
+      val onTheFly = AnnOps.ivfTopK(df, "vec_id", "embedding", q, 10,
+        nCells = 8, nProbe = 2).as[(Long, Double)].collect().toSeq
+      assert(viaPartitioned == onTheFly)
+    } finally graft.Bench.deleteRec(dir)
+  }
+
   test("trained IVF centroids: recall@10 >= deterministic matrix on clustered data") {
     import spark.implicits._
     // clustered fixture: 600 points scattered tightly (cos ~0.99) around 8
