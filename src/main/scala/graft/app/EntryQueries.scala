@@ -154,6 +154,12 @@ object EntryQueries {
       t(s, dir, "part").filter(K.krep_contains($"p_name", "an"))
         .select($"p_partkey", $"p_name").orderBy($"p_partkey")
     }),
+    "krep_contains_ac" -> ((s, dir) => { // --algo analog: forced AC kernel
+      import s.implicits._
+      t(s, dir, "part")
+        .filter(K.krep_contains($"p_name", KrepParams(Seq("an"), algo = "ac")))
+        .select($"p_partkey", $"p_name").orderBy($"p_partkey")
+    }),
     "krep_contains_ci" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "part")
@@ -590,6 +596,10 @@ object EntryQueries {
           |CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
       "krep_contains" ->
+        "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%an%' ORDER BY p_partkey",
+      // forced-kernel twin: same relation, so the driver gate proves the
+      // override changes the PLAN (no Contains rewrite) but not the answer
+      "krep_contains_ac" ->
         "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%an%' ORDER BY p_partkey",
       "krep_contains_ci" ->
         "SELECT p_partkey, p_brand FROM part WHERE lower(p_brand) LIKE '%brand#1%' ORDER BY p_partkey",

@@ -45,14 +45,29 @@ object LevelBench {
     Bench.engineBench(spark, 2000L, cpus, repeats = 1)
     spark.read.parquet(pagesPath).selectExpr("sum(octet_length(html))").collect()
 
+    // host weather bracketing the timed window (same probes as Bench.main):
+    // a level run whose numbers disagree with its pair partner should carry
+    // its own steal/bandwidth evidence
+    val steal0 = Bench.stealTicks()
+    val wall0 = System.nanoTime()
+    val membw0 = Bench.membwGbps()
+
     // 12 repeats keep the timed query window in steady state (~300 queries):
     // at 3 repeats the 4N level finished its 75 queries in <0.5 s wall and
     // fixed pool/scheduling overheads dominated the throughput reading
     val r = Bench.engineBench(spark, nDocs, cpus, repeats = 12,
       pagesPath = pagesPath)
+
+    val steal1 = Bench.stealTicks()
+    val stealRate = if (steal0 < 0 || steal1 < 0) -1.0
+      else (steal1 - steal0) / ((System.nanoTime() - wall0) / 1e9)
+    val membw1 = Bench.membwGbps()
     val m = r.metrics.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString(",")
-    println(s"""{"level":$cpus,"nDocs":$nDocs,$m,"checksum":"${r.resultsChecksum}"}""")
+    println(s"""{"level":$cpus,"nDocs":$nDocs,$m,""" +
+      f""""steal_ticks_per_sec":$stealRate%.1f,""" +
+      f""""membw_gbps_pre":$membw0%.1f,"membw_gbps_post":$membw1%.1f,""" +
+      s""""checksum":"${r.resultsChecksum}"}""")
     spark.stop()
   }
 }
