@@ -234,6 +234,12 @@ object Bench {
     val wall0 = System.nanoTime()
     val membw0 = membwGbps()
 
+    // one tiny untimed action first: Catalyst/codegen/parquet-reader
+    // classloading is a one-time JVM cost that otherwise lands entirely on
+    // the alphabetically-first query (observed: ann_cosine_topk "4.8 s" for
+    // a 2000-row scan, ~5 s of which was warmup)
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
     // a broken query must surface as an error, never as a fast "-1s" timing
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
