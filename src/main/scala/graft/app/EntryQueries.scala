@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.krep.{KrepParams, functions => K}
-import graft.ops.{AnnOps, TextOps}
+import graft.ops.{AnnOps, DedupCluster, TextOps}
 import graft.query.Bm25Df
 
 /** The driver-facing operator surface: every implemented operator exposed as
@@ -95,6 +95,26 @@ object EntryQueries {
       .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b")
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Confirmed near-dup pairs: banded candidates (bare ids through the
+    * exchange), then the 32-slot signatures join back ONLY for the deduped
+    * survivors to compute the MinHash Jaccard estimate; pairs below
+    * `thresholdBps` are dropped. Shared by `minhash_pairs` (reports the
+    * estimate) and `dedup_clusters` (uses the pairs as CC edges).
+    */
+  private def minhashConfirmedPairs(d: DataFrame, bands: Int, rows: Int,
+      thresholdBps: Long): DataFrame = {
+    import d.sparkSession.implicits._
+    minhashBandPairs(d, bands, rows)
+      .join(d.select($"doc_id".as("id_a"), $"sig".as("sig_a")), "id_a")
+      .join(d.select($"doc_id".as("id_b"), $"sig".as("sig_b")), "id_b")
+      .select($"id_a", $"id_b",
+        (aggregate(zip_with($"sig_a", $"sig_b",
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v) * 10000L / size($"sig_a"))
+          .cast("long").as("est_bps"))
+      .filter($"est_bps" >= thresholdBps)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -396,16 +416,30 @@ object EntryQueries {
       // candidate pairs move bare ids through the band join; the 32-slot
       // signature arrays join back ONLY for the deduped survivors, so the
       // widest exchange carries (band, bhash, id) and nothing else
-      minhashBandPairs(d, bands, rows)
-        .join(d.select($"doc_id".as("id_a"), $"sig".as("sig_a")), "id_a")
-        .join(d.select($"doc_id".as("id_b"), $"sig".as("sig_b")), "id_b")
-        .select($"id_a", $"id_b",
-          (aggregate(zip_with($"sig_a", $"sig_b",
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-            lit(0L), (acc, v) => acc + v) * 10000L / size($"sig_a"))
-            .cast("long").as("est_bps"))
-        .filter($"est_bps" >= 7000L)
+      minhashConfirmedPairs(d, bands, rows, thresholdBps = 7000L)
         .orderBy($"id_a", $"id_b")
+    }),
+    "dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      // Near-dup clustering: confirmed MinHash pairs (est >= 0.7) become
+      // edges; DedupCluster.connectedComponents labels every document with
+      // the minimum doc_id reachable through the pair graph — the canonical
+      // document a dedup pipeline keeps — in O(log n) pointer-doubling
+      // rounds. csize counts the component (1 = unique document).
+      val hashed = t(s, dir, "documents")
+        .select($"doc_id", TextOps.shingleHashesPoly($"text").as("hs"))
+        .persist() // barrier vs CollapseProject (see minhash_pairs)
+      val d = hashed.select($"doc_id",
+        TextOps.minhashPolyFromHashes($"hs", k = 32).as("sig"))
+        .persist()
+      val edges = minhashConfirmedPairs(d, bands = 8, rows = 4,
+        thresholdBps = 7000L).select($"id_a", $"id_b")
+      val cc = DedupCluster.connectedComponents(
+        t(s, dir, "documents").select($"doc_id".as("id")), edges)
+      val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("csize"))
+      cc.join(sizes, "cluster_id")
+        .select($"id".as("doc_id"), $"cluster_id", $"csize")
+        .orderBy($"doc_id")
     }),
     // canonical simhash: the PolyHash scheme, fully value-oracled in DuckDB
     // (the xxhash64 variant stays a library function — TextOps.simhash64 —
@@ -459,6 +493,24 @@ object EntryQueries {
         nPlanes = 10, nTables = 2, dim = 64)
         .select($"id_a", $"id_b", round($"sim" * 10000).cast("long").as("sim_bps"))
         .orderBy($"id_a", $"id_b")
+    }),
+    "ann_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      // Semantic dedup clustering: SRP-LSH candidate pairs above a cosine
+      // threshold become edges; connected components pick one canonical
+      // vector per cluster. Threshold 0.30 is the demo value for the
+      // near-orthogonal synthetic fixture (max pairwise cos ~0.43); a real
+      // embedding-dedup pipeline sets ~0.95 — the mechanism is identical.
+      val emb = t(s, dir, "embeddings")
+      val edges = AnnOps.lshCandidatePairs(emb, "vec_id", "embedding",
+        nPlanes = 10, nTables = 2, minSim = 0.30, dim = 64)
+        .select($"id_a", $"id_b")
+      val cc = DedupCluster.connectedComponents(
+        emb.select($"vec_id".as("id")), edges)
+      val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("csize"))
+      cc.join(sizes, "cluster_id")
+        .select($"id".as("vec_id"), $"cluster_id", $"csize")
+        .orderBy($"vec_id")
     }),
 
     // ---- BM25 ---------------------------------------------------------------
@@ -525,6 +577,23 @@ object EntryQueries {
     val sigEntries = TextOps.minhashCoeffs(32).map { case (a, b) =>
       s"coalesce(list_min(list_transform(hs, h -> (h*$a + $b) % $P)), $P)"
     }.mkString("[", ", ", "]")
+    // shared MinHash-banded pair CTEs (shingles -> signatures -> band join
+    // -> distinct pairs with Jaccard estimate); `e` = (id_a, id_b, est_bps)
+    val minhashPairCtes =
+      s"""d AS (SELECT doc_id, $shingles AS sh FROM documents),
+         |h AS (SELECT doc_id, list_transform(sh, s -> ${ph("s")}) AS hs FROM d),
+         |sig AS (SELECT doc_id, $sigEntries AS sig FROM h),
+         |banded AS (SELECT doc_id, sig, b AS band,
+         |  list_reduce(list_transform(range(b*4+1, b*4+5), j -> sig[j]),
+         |    (x, y) -> (x*131 + y) % $P) AS bhash
+         |  FROM sig, unnest([0,1,2,3,4,5,6,7]) AS t(b)),
+         |p AS (SELECT a.doc_id AS id_a, bb.doc_id AS id_b, a.sig AS sa, bb.sig AS sb
+         |  FROM banded a JOIN banded bb
+         |  ON a.band = bb.band AND a.bhash = bb.bhash AND a.doc_id < bb.doc_id),
+         |e AS (SELECT DISTINCT id_a, id_b,
+         |  (list_sum(list_transform(range(1, 33),
+         |     i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) * 10000) // 32 AS est_bps
+         |  FROM p)""".stripMargin
     // SRP-LSH oracle: the same ±1 hyperplanes the SrpBucket kernel derives
     // (nPlanes=10, dim=64, seeds 42+t), embedded as literals; bit j of the
     // bucket = sign of the double dot product, folded left-to-right exactly
@@ -563,6 +632,30 @@ object EntryQueries {
           s"(x, y) -> x + y) >= 0 THEN ${1 << (9 - j)} ELSE 0 END)"
       }.mkString(" + ")
     }
+    // shared SRP-LSH pair CTEs (2 tables of 10-plane buckets -> distinct
+    // candidate pairs -> exact double-precision cosine); `s` = (id_a, id_b,
+    // sim) — same fold order as the codegen'd kernels, bit-exact
+    val srpPairCtes =
+      s"""b AS (
+         |  SELECT vec_id, embedding, 0 AS tbl, ${srpBucketSql(42L)} AS bucket FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id, embedding, 1 AS tbl, ${srpBucketSql(43L)} AS bucket FROM embeddings),
+         |p AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+         |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         |e AS (SELECT id_a, id_b,
+         |  list_reduce(list_transform(range(1, 65),
+         |    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
+         |    (x, y) -> x + y) AS dot,
+         |  sqrt(list_reduce(list_transform(range(1, 65),
+         |    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)),
+         |    (x, y) -> x + y)) AS na,
+         |  sqrt(list_reduce(list_transform(range(1, 65),
+         |    i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
+         |    (x, y) -> x + y)) AS nb
+         |  FROM p JOIN embeddings ea ON ea.vec_id = p.id_a
+         |         JOIN embeddings eb ON eb.vec_id = p.id_b),
+         |s AS (SELECT id_a, id_b,
+         |  CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END AS sim FROM e)""".stripMargin
     // dots of `colRef` against the 16 deterministic ±1 IVF centroids (seed 7,
     // dim 64) as a SQL list literal expression — same double fold order as
     // IvfCentroids.cell, so argmax (first max wins) agrees bit-exactly
@@ -730,22 +823,24 @@ object EntryQueries {
            |  // (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))) AS BIGINT)
            |END AS j_bps FROM j ORDER BY id_a, id_b""".stripMargin,
       "minhash_pairs" ->
-        s"""WITH d AS (SELECT doc_id, $shingles AS sh FROM documents),
-           |h AS (SELECT doc_id, list_transform(sh, s -> ${ph("s")}) AS hs FROM d),
-           |sig AS (SELECT doc_id, $sigEntries AS sig FROM h),
-           |banded AS (SELECT doc_id, sig, b AS band,
-           |  list_reduce(list_transform(range(b*4+1, b*4+5), j -> sig[j]),
-           |    (x, y) -> (x*131 + y) % $P) AS bhash
-           |  FROM sig, unnest([0,1,2,3,4,5,6,7]) AS t(b)),
-           |p AS (SELECT a.doc_id AS id_a, bb.doc_id AS id_b, a.sig AS sa, bb.sig AS sb
-           |  FROM banded a JOIN banded bb
-           |  ON a.band = bb.band AND a.bhash = bb.bhash AND a.doc_id < bb.doc_id),
-           |e AS (SELECT DISTINCT id_a, id_b,
-           |  (list_sum(list_transform(range(1, 33),
-           |     i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) * 10000) // 32 AS est_bps
-           |  FROM p)
+        s"""WITH $minhashPairCtes
            |SELECT id_a, id_b, CAST(est_bps AS BIGINT) AS est_bps FROM e
            |WHERE est_bps >= 7000 ORDER BY id_a, id_b""".stripMargin,
+      // near-dup clustering: confirmed pairs -> symmetric edges -> full
+      // reachability closure (recursive CTE) -> min reachable id per doc
+      // == the engine's pointer-doubling connected components
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |edges AS (SELECT id_a AS u, id_b AS v FROM e WHERE est_bps >= 7000
+           |  UNION ALL SELECT id_b, id_a FROM e WHERE est_bps >= 7000),
+           |reach(a, rb) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.a, ed.v FROM reach r JOIN edges ed ON r.rb = ed.u),
+           |cc AS (SELECT a AS doc_id, min(rb) AS cluster_id FROM reach GROUP BY a),
+           |cs AS (SELECT cluster_id, count(*) AS csize FROM cc GROUP BY cluster_id)
+           |SELECT cc.doc_id, cc.cluster_id, cs.csize FROM cc
+           |JOIN cs USING (cluster_id) ORDER BY cc.doc_id""".stripMargin,
       "simhash" ->
         s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
            |  FROM (SELECT doc_id, unnest($ltoks) AS term FROM documents)
@@ -762,28 +857,23 @@ object EntryQueries {
            |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
            |ORDER BY d.doc_id""".stripMargin,
       "ann_lsh_neardup" ->
-        s"""WITH b AS (
-           |  SELECT vec_id, embedding, 0 AS tbl, ${srpBucketSql(42L)} AS bucket FROM embeddings
-           |  UNION ALL
-           |  SELECT vec_id, embedding, 1 AS tbl, ${srpBucketSql(43L)} AS bucket FROM embeddings),
-           |p AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-           |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
-           |e AS (SELECT id_a, id_b,
-           |  list_reduce(list_transform(range(1, 65),
-           |    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
-           |    (x, y) -> x + y) AS dot,
-           |  sqrt(list_reduce(list_transform(range(1, 65),
-           |    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)),
-           |    (x, y) -> x + y)) AS na,
-           |  sqrt(list_reduce(list_transform(range(1, 65),
-           |    i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
-           |    (x, y) -> x + y)) AS nb
-           |  FROM p JOIN embeddings ea ON ea.vec_id = p.id_a
-           |         JOIN embeddings eb ON eb.vec_id = p.id_b),
-           |s AS (SELECT id_a, id_b,
-           |  CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END AS sim FROM e)
+        s"""WITH $srpPairCtes
            |SELECT id_a, id_b, CAST(round(sim * 10000) AS BIGINT) AS sim_bps FROM s
            |WHERE sim >= 0.0 ORDER BY id_a, id_b""".stripMargin,
+      // semantic dedup clustering: SRP-LSH pairs above the similarity
+      // threshold become edges; closure == the engine's pointer-doubling CC
+      "ann_dedup_clusters" ->
+        s"""WITH RECURSIVE $srpPairCtes,
+           |edges AS (SELECT id_a AS u, id_b AS v FROM s WHERE sim >= 0.30
+           |  UNION ALL SELECT id_b, id_a FROM s WHERE sim >= 0.30),
+           |reach(a, rb) AS (
+           |  SELECT vec_id, vec_id FROM embeddings
+           |  UNION
+           |  SELECT r.a, ed.v FROM reach r JOIN edges ed ON r.rb = ed.u),
+           |cc AS (SELECT a AS vec_id, min(rb) AS cluster_id FROM reach GROUP BY a),
+           |cs AS (SELECT cluster_id, count(*) AS csize FROM cc GROUP BY cluster_id)
+           |SELECT cc.vec_id, cc.cluster_id, cs.csize FROM cc
+           |JOIN cs USING (cluster_id) ORDER BY cc.vec_id""".stripMargin,
       "ann_ivf_topk" ->
         s"""WITH c AS (SELECT vec_id,
            |  (array_position(${ivfDotsSql("embedding")},
