@@ -31,9 +31,72 @@ object DedupCluster {
     * set `edges` (columns `id_a`, `id_b`; direction irrelevant). Returns
     * one row per node: (id, cluster_id) with cluster_id = min id in the
     * node's component; isolated nodes label themselves.
+    *
+    * Two physical strategies, one semantics (the same small/large split the
+    * query engine uses): an edge set that fits comfortably on the driver
+    * (`<= driverEdgeLimit`, default 2M pairs = ~32 MB) is solved by one
+    * collect + union-find and a broadcast join back — 2 Spark jobs instead
+    * of ~5 per pointer-doubling round. Larger edge sets take the fully
+    * distributed O(log n)-round path. `strategy` = auto | driver |
+    * distributed forces a path for testing.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64, driverEdgeLimit: Long = 2000000L,
+      strategy: String = "auto"): DataFrame = {
+    val s: SparkSession = nodes.sparkSession
+    import s.implicits._
+
+    val pairCols = edges.select(col(edges.columns(0)).as("id_a"),
+      col(edges.columns(1)).as("id_b"))
+    strategy match {
+      case "driver" =>
+        driverUnionFind(nodes,
+          pairCols.collect().map(r => (r.getLong(0), r.getLong(1))))
+      case "distributed" =>
+        connectedComponentsDistributed(nodes, pairCols, maxRounds)
+      case _ =>
+        // probe and collect in ONE pass: pull at most limit+1 edges; if
+        // they all fit, they are already the full edge set — no second
+        // evaluation of the (possibly expensive) pair pipeline
+        val probe = pairCols.limit((driverEdgeLimit + 1).toInt).collect()
+        if (probe.length <= driverEdgeLimit)
+          driverUnionFind(nodes,
+            probe.map(r => (r.getLong(0), r.getLong(1))))
+        else connectedComponentsDistributed(nodes, pairCols, maxRounds)
+    }
+  }
+
+  /** Driver-side union-find over a collected edge list, labels broadcast
+    * back onto the (arbitrarily large) node table. Only nodes that appear
+    * in an edge travel to the driver.
+    */
+  private def driverUnionFind(nodes: DataFrame,
+      pairs: Array[(Long, Long)]): DataFrame = {
+    val s: SparkSession = nodes.sparkSession
+    import s.implicits._
+    val parent = new scala.collection.mutable.HashMap[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots always merged toward the min, so find() IS the component min
+    val labels = parent.keysIterator.map(k => (k, find(k))).toSeq
+    if (labels.isEmpty)
+      return nodes.select($"id", $"id".as("cluster_id"))
+    val lblDf = labels.toDF("id", "lbl")
+    nodes.join(broadcast(lblDf), Seq("id"), "left")
+      .select($"id", coalesce($"lbl", $"id").as("cluster_id"))
+  }
+
+  private def connectedComponentsDistributed(nodes: DataFrame,
+      edges: DataFrame, maxRounds: Int): DataFrame = {
     val s: SparkSession = nodes.sparkSession
     import s.implicits._
 

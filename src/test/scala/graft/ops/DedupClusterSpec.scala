@@ -27,13 +27,14 @@ class DedupClusterSpec extends AnyFunSuite {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
-  private def sparkCC(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def sparkCC(n: Int, edges: Seq[(Long, Long)],
+      strategy: String = "auto"): Map[Long, Long] = {
     import spark.implicits._
     val nodes = (0L until n.toLong).toDF("id")
     val e =
       if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
       else edges.toDF("id_a", "id_b")
-    DedupCluster.connectedComponents(nodes, e)
+    DedupCluster.connectedComponents(nodes, e, strategy = strategy)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -44,16 +45,17 @@ class DedupClusterSpec extends AnyFunSuite {
   test("path graph converges to the chain minimum in O(log n) rounds") {
     val n = 128
     val chain = (0L until (n - 1).toLong).map(i => (i, i + 1))
-    // maxRounds 16 << n: only pointer doubling can close a 128-long chain
+    // maxRounds 16 << n: only pointer doubling can close a 128-long chain;
+    // force the distributed path (auto would route 127 edges to the driver)
     import spark.implicits._
     val got = DedupCluster.connectedComponents(
       (0L until n.toLong).toDF("id"), chain.toDF("id_a", "id_b"),
-      maxRounds = 16)
+      maxRounds = 16, strategy = "distributed")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L until n.toLong).map(i => i -> 0L).toMap)
   }
 
-  test("random graphs match driver-side union-find (3 seeds)") {
+  test("random graphs: BOTH strategies match driver-side union-find (3 seeds)") {
     for (seed <- Seq(11, 42, 1234)) {
       val rnd = new scala.util.Random(seed)
       val n = 200
@@ -61,7 +63,9 @@ class DedupClusterSpec extends AnyFunSuite {
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
         .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
-      assert(sparkCC(n, edges) == unionFind(n, edges), s"seed=$seed")
+      val expect = unionFind(n, edges)
+      assert(sparkCC(n, edges, "distributed") == expect, s"seed=$seed distributed")
+      assert(sparkCC(n, edges, "driver") == expect, s"seed=$seed driver")
     }
   }
 
