@@ -530,6 +530,8 @@ object EntryQueries {
       indexTopK(s, dir)(_.searchPhrase("the table", 10))),
     "multi_pattern_topk" -> ((s, dir) =>
       indexTopK(s, dir)(_.searchMultiPattern(Seq("or", "am"), 15))),
+    "conj_topk" -> ((s, dir) =>
+      indexTopK(s, dir)(_.searchConjunctive("spark window the", 15))),
     "regex_topk" -> ((s, dir) =>
       indexTopK(s, dir)(_.searchRegex("^[a-z]{3}$", 15))),
 
@@ -921,6 +923,12 @@ object EntryQueries {
           |    AND list_contains(list_transform(range(1, len(tk)),
           |          i -> tk[i] || ' ' || tk[i+1]), 'the table')),""".stripMargin,
         " WHERE tf.doc_id IN (SELECT doc_id FROM cand)", 10),
+      // conjunctive mode: only docs carrying ALL query terms score; the
+      // addends are the same global-df BM25 terms as the disjunctive path
+      "conj_topk" -> bm25IndexSql(
+        "SELECT unnest(['spark','the','window']) AS term",
+        "cand AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = 3),",
+        " WHERE tf.doc_id IN (SELECT doc_id FROM cand)", 15),
       // dict terms CONTAINING any pattern (krep substring semantics), capped
       // at 1024 by df DESC (krep.c:3571), ranked as a disjunction
       "multi_pattern_topk" -> bm25IndexSql(

@@ -18,7 +18,7 @@ import graft.krep.{functions => K}
 object NaiveSearch {
 
   def topK(spark: SparkSession, pages: Dataset[Page], query: String, k: Int,
-      partitions: Int = 32): Array[ScoredDoc] = {
+      partitions: Int = 32, conjunctive: Boolean = false): Array[ScoredDoc] = {
     import spark.implicits._
     val terms = new QueryEngineTerms().canonical(query)
     if (terms.isEmpty) return Array.empty
@@ -53,10 +53,13 @@ object NaiveSearch {
       }
       .toDF("docId", "termIdx", "addend")
 
-    // deterministic fold: sort addends by term index, sum left-to-right
+    // deterministic fold: sort addends by term index, sum left-to-right;
+    // conjunctive mode keeps only docs carrying every query term (one
+    // addend per distinct query term present)
     addends
       .groupBy($"docId")
       .agg(sort_array(collect_list(struct($"termIdx", $"addend"))).as("parts"))
+      .filter(!lit(conjunctive) || size($"parts") === terms.length)
       .select($"docId",
         aggregate($"parts", lit(0.0), (acc, x) => acc + x("addend")).as("score"))
       .orderBy($"score".desc, $"docId".asc)

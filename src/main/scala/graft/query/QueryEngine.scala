@@ -299,6 +299,73 @@ final class QueryEngine(spark: SparkSession, root: String,
     }
   }
 
+  /** Conjunctive query mode: exact BM25 top-k over docs containing ALL query
+    * terms — the index lift of AND-composing krep scans (`krep p1 | krep
+    * p2`; the reference's own multi-pattern mode is the disjunction). Same
+    * three physical strategies as [[searchTerms]]; the per-segment kernel is
+    * the positions-free leapfrog intersection ([[ConjunctiveSearch]]), and a
+    * query term absent from the dictionary empties the result by definition.
+    */
+  def searchConjunctive(query: String, k: Int): Array[ScoredDoc] = {
+    val terms = canonicalTerms(query)
+    if (terms.isEmpty) return Array.empty
+    val metas = lookupTerms(terms)
+    if (metas.length < terms.length) return Array.empty // a term is absent
+    val ids = metas.map(_.termId)
+    val idxOf = metas.map(m => m.termId -> m.termIdx).toMap
+    val nSlots = terms.length
+    val idfs = new Array[Double](nSlots)
+    metas.foreach(m => idfs(m.termIdx) = m.idf)
+    val avgdl = stats.avgdl
+    val k0 = k
+
+    def blocks = postingsDs
+      .filter($"termId".isin(ids.toSeq: _*))
+      .as[PostingBlock]
+
+    // per-segment top-k: match count within one segment is bounded by the
+    // segment's doc span, and only <= k rows leave the segment
+    def conjOnSegment(segBlocks: Iterator[PostingBlock]): Iterator[ScoredDoc] = {
+      val bySlot = Array.fill(nSlots)(
+        scala.collection.mutable.ArrayBuffer.empty[PostingBlock])
+      segBlocks.foreach(b => bySlot(idxOf(b.termId)) += b)
+      ConjunctiveSearch.segmentMatches(
+        bySlot.map(_.toArray.sortBy(_.firstDoc)), idfs, avgdl)
+        .toArray.sortBy(d => (-d.score, d.docId)).take(k0).iterator
+    }
+
+    def bySegmentRuns(all: Array[PostingBlock]): Array[ScoredDoc] = {
+      java.util.Arrays.sort(all, (a: PostingBlock, b: PostingBlock) => {
+        val c = java.lang.Long.compare(a.segId, b.segId)
+        if (c != 0) c else java.lang.Long.compare(a.firstDoc, b.firstDoc)
+      })
+      val out = scala.collection.mutable.ArrayBuffer.empty[ScoredDoc]
+      var s = 0
+      while (s < all.length) {
+        var e = s
+        while (e < all.length && all(e).segId == all(s).segId) e += 1
+        out ++= conjOnSegment(all.iterator.slice(s, e))
+        s = e
+      }
+      out.toArray.sortBy(d => (-d.score, d.docId)).take(k)
+    }
+
+    if (driverCacheable) {
+      bySegmentRuns(metas.iterator
+        .flatMap(m => driverBlocks.getOrElse(m.termId, Array.empty[PostingBlock]))
+        .toArray)
+    } else if (metas.map(_.df).sum <= localPostingsThreshold) {
+      bySegmentRuns(blocks.collect())
+    } else {
+      blocks
+        .groupByKey(_.segId)
+        .flatMapGroups((_, it) => conjOnSegment(it))
+        .orderBy($"score".desc, $"docId".asc)
+        .limit(k)
+        .collect()
+    }
+  }
+
   /** Exact phrase search (SURVEY.md §3.4), positional-index path:
     *
     *  1. positional candidates from the index alone — per-segment zipper

@@ -1,0 +1,99 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.corpus.SynthWebText
+import graft.query.QueryEngine
+import graft.streaming.StreamingIndexer
+
+class CompactionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val cfg = IndexConfig(blockSize = 32, docsPerSegment = 128,
+    partitions = 2)
+  private def t(r: Int) = SynthWebText.term(r)
+
+  /** Decoded posting multiset: the logical content compaction must keep. */
+  private def postings(root: String): Seq[(Long, Long, Int, Int, Seq[Int])] = {
+    import spark.implicits._
+    val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
+    ice.readTable(spark, "postings").as[PosPostingBlock].collect().toSeq
+      .flatMap { b =>
+        val docs = BlockCodec.decodeDeltaLongs(b.docs, b.n)
+        val tfs = BlockCodec.decodeInts(b.tfs, b.n)
+        val dls = BlockCodec.decodeInts(b.dls, b.n)
+        val poss = BlockCodec.decodePosLists(b.poss, tfs)
+        (0 until b.n).map(i =>
+          (b.termId, docs(i), tfs(i), dls(i), poss(i).toSeq))
+      }.sortBy(p => (p._1, p._2)) // (termId, docId) is unique per posting
+  }
+
+  private def blockCount(root: String): Long = {
+    val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
+    ice.readTable(spark, "postings").count()
+  }
+
+  test("compactPostings: fewer blocks, identical posting multiset, identical queries") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-compact-").toString
+    val indexer = new StreamingIndexer(spark, root, cfg)
+    // 6 small appends => per-term postings fragmented across 6 commits
+    (0 until 6).foreach { k =>
+      indexer.appendBatch(
+        spark.range(k * 150L, (k + 1) * 150L, 1, 2)
+          .map(i => SynthWebText.page(i)))
+    }
+    val queries = Seq(t(0), t(100), s"${t(3)} ${t(7)}", SynthWebText.Markers(0))
+    def answers(): Seq[Seq[(Long, Double)]] = {
+      val eng = new QueryEngine(spark, root)
+      queries.map(q => eng.searchDf(q, 15).collect()
+        .map(r => (r.getLong(1), r.getDouble(3))).toSeq) :+
+        eng.searchPhrase(SynthWebText.Markers(0), 10)
+          .map(sd => (sd.docId, sd.score)).toSeq
+    }
+    val before = answers()
+    val msBefore = postings(root)
+    val blocksBefore = blockCount(root)
+    val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
+    val snapBefore = ice.currentSnapshotId.get
+    val filesBefore = ice.snapshotFiles("postings")
+
+    new IndexCompactor(spark, root, cfg).compactPostings()
+
+    assert(blockCount(root) < blocksBefore,
+      s"compaction did not reduce blocks ($blocksBefore)")
+    assert(postings(root) == msBefore,
+      "compaction changed the decoded posting multiset")
+    assert(answers() == before, "query answers changed after compaction")
+    // snapshot isolation: the pre-compaction snapshot still lists the old
+    // files, all still present on disk (vacuum is a separate, later step)
+    assert(ice.currentSnapshotId.get == snapBefore + 1)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+    filesBefore.foreach(f =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(f)),
+        s"pre-compaction file $f deleted by compaction"))
+  }
+
+  test("compactTable: docs content preserved in the requested file count") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-compact2-").toString
+    val indexer = new StreamingIndexer(spark, root, cfg)
+    (0 until 4).foreach { k =>
+      indexer.appendBatch(
+        spark.range(k * 50L, (k + 1) * 50L, 1, 2)
+          .map(i => SynthWebText.page(i)))
+    }
+    val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
+    val before = ice.readTable(spark, "docs").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq.sorted
+    new IndexCompactor(spark, root, cfg).compactTable("docs", 1)
+    val after = ice.readTable(spark, "docs").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq.sorted
+    assert(after == before)
+    assert(ice.completedSteps("docs").files.size == 1)
+  }
+}

@@ -192,6 +192,37 @@ class IndexQuerySpec extends AnyFunSuite {
     assert(engine.searchMultiPattern(Seq("zzzqqqxxxnotaword"), 10).isEmpty)
   }
 
+  test("conjunctive mode == brute-force all-terms BM25, all three strategies") {
+    val engine = new QueryEngine(spark, indexRoot)
+    val queries = Seq(
+      s"${t(0)} ${t(1)}", s"${t(3)} ${t(7)} ${t(11)}", s"${t(2)} ${t(2000)}",
+      s"${t(50)} ${t(51)} ${t(52)} ${t(53)}", t(100), SynthWebText.Markers(0))
+    queries.foreach { q =>
+      val got = engine.searchConjunctive(q, 10)
+      val want = NaiveSearch.topK(spark, pages, q, 10, 4, conjunctive = true)
+      assert(got.map(s => (s.docId, s.score)).toSeq ==
+        want.map(s => (s.docId, s.score)).toSeq,
+        s"conjunctive mode diverges on '$q'")
+      // conjunctive results = disjunctive scores restricted to the AND set
+      val dis = engine.search(q, 2000).map(s => s.docId -> s.score).toMap
+      got.foreach(s => assert(dis.get(s.docId).contains(s.score),
+        s"conjunctive score for doc ${s.docId} not in disjunctive set ('$q')"))
+    }
+    // absent term empties the conjunction even when other terms are hot
+    assert(engine.searchConjunctive(s"${t(0)} zzzqqqxxxnotaword", 10).isEmpty)
+    // the other physical strategies agree
+    val pruned = new QueryEngine(spark, indexRoot,
+      driverCacheBlocksThreshold = 0L)
+    val distributed = new QueryEngine(spark, indexRoot,
+      localPostingsThreshold = 0L, driverCacheBlocksThreshold = 0L)
+    val q = s"${t(3)} ${t(7)} ${t(11)}"
+    val a = new QueryEngine(spark, indexRoot).searchConjunctive(q, 10)
+    assert(pruned.searchConjunctive(q, 10).toSeq == a.toSeq,
+      "pruned-scan conjunctive strategy diverges")
+    assert(distributed.searchConjunctive(q, 10).toSeq == a.toSeq,
+      "distributed conjunctive strategy diverges")
+  }
+
   test("searchDf resolves urls and preserves rank order") {
     val engine = new QueryEngine(spark, indexRoot)
     val df = engine.searchDf(t(100), 5).collect()
