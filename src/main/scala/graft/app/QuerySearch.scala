@@ -4,23 +4,24 @@ import org.apache.spark.sql.SparkSession
 
 import graft.query.QueryEngine
 
-/** BM25 top-k query entry point (spark-submit-able) — all four query modes.
+/** BM25 top-k query entry point (spark-submit-able) — all five query modes.
   *
   * {{{
   *   spark-submit --class graft.app.QuerySearch ... <indexRoot> <k> <terms...>
   *   spark-submit --class graft.app.QuerySearch ... <indexRoot> <k> --phrase <exact phrase...>
   *   spark-submit --class graft.app.QuerySearch ... <indexRoot> <k> --multi <pattern> [pattern...]
   *   spark-submit --class graft.app.QuerySearch ... <indexRoot> <k> --regex <regex>
+  *   spark-submit --class graft.app.QuerySearch ... <indexRoot> <k> --and <terms...>
   * }}}
   */
 object QuerySearch {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: QuerySearch <indexRoot> <k> [--phrase|--multi|--regex] <query...>")
+      "usage: QuerySearch <indexRoot> <k> [--phrase|--multi|--regex|--and] <query...>")
     val root = args(0)
     val k = args(1).toInt
     val mode = args(2) match {
-      case m @ ("--phrase" | "--multi" | "--regex") => m
+      case m @ ("--phrase" | "--multi" | "--regex" | "--and") => m
       case _ => "terms"
     }
     val rest = args.drop(if (mode == "terms") 2 else 3)
@@ -44,6 +45,7 @@ object QuerySearch {
       case "--phrase" => dump("PHRASE", engine.searchPhrase(query, k))
       case "--multi" => dump("MULTI", engine.searchMultiPattern(rest.toSeq, k))
       case "--regex" => dump("REGEX", engine.searchRegex(query, k))
+      case "--and" => dump("AND", engine.searchConjunctive(query, k))
       case _ =>
         val rows = engine.searchDf(query, k).collect()
         val ms = (System.nanoTime() - t0) / 1e6

@@ -56,6 +56,70 @@ final class IndexCompactor(spark: SparkSession, root: String,
       Map("version" -> tag, "compacted" -> "true")))
   }
 
+  /** Selective compaction — the shape that survives 100 TB: only files
+    * dominated by SPLIT posting runs are rewritten (the Iceberg
+    * rewrite-data-files-with-filter discipline — compacting 1% of debris
+    * must not rewrite the other 99%). The debris signature of this layout is
+    * a (termId, segId) group whose blocks span several files: the batch
+    * build and a full compaction place each group in exactly one partition
+    * file, while every streaming append adds its own file per touched
+    * segment. A file is rewritten when more than `minSplitFrac` of its
+    * blocks belong to split groups — measured from the metadata columns
+    * alone (termId, segId — columnar read, block payloads stay on disk).
+    * Correctness is unaffected by partial rewrites: every doc is indexed
+    * once, so blocks from rewritten and untouched files remain disjoint
+    * sorted runs that the query-time merge orders by firstDoc.
+    *
+    * Returns the new snapshot id, or the current one unchanged when no file
+    * crosses the threshold (no empty commits).
+    */
+  def compactPostingsSelective(minSplitFrac: Double = 0.3): Long = {
+    import spark.implicits._
+    val step = ice.completedSteps("postings")
+    val committed = step.files.map { case (name, _) => name }
+    val meta = ice.readTable(spark, "postings")
+      .select(input_file_name().as("f"), $"termId", $"segId")
+    val splitGroups = meta.groupBy($"termId", $"segId")
+      .agg(countDistinct($"f").as("nf"))
+    val byFile = meta.join(splitGroups, Seq("termId", "segId"))
+      .groupBy($"f")
+      .agg(avg(when($"nf" > 1, 1.0).otherwise(0.0)).as("splitFrac"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def relOf(uri: String): String =
+      committed.find(name => uri.endsWith(name)).getOrElse(
+        sys.error(s"uncommitted postings file in snapshot read: $uri"))
+    val fragmented = byFile
+      .filter { case (_, frac) => frac > minSplitFrac }
+      .map { case (uri, _) => relOf(uri) }.toSet
+    if (fragmented.isEmpty) return ice.currentSnapshotId.get
+
+    val fragPaths = fragmented.toSeq.sorted.map(n => s"${ice.tablePath("postings")}/$n")
+    val rows = spark.read.parquet(fragPaths: _*).as[PosPostingBlock]
+      .flatMap { b =>
+        val docs = BlockCodec.decodeDeltaLongs(b.docs, b.n)
+        val tfs = BlockCodec.decodeInts(b.tfs, b.n)
+        val dls = BlockCodec.decodeInts(b.dls, b.n)
+        val strips = IndexCompactor.splitStrips(b.poss, tfs)
+        Iterator.tabulate(b.n)(i =>
+          (b.termId, docs(i), tfs(i), dls(i), strips(i)))
+      }.toDF("termId", "docId", "tf", "dl", "posv")
+    val sorted = rows
+      .repartition(cfg.partitions, $"termId",
+        floor($"docId" / cfg.docsPerSegment))
+      .sortWithinPartitions($"termId", $"docId")
+      .as[(Long, Long, Int, Int, Array[Byte])]
+    val tag = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    IndexBuilder.encodeBlocks(sorted, cfg.blockSize, cfg.docsPerSegment)
+      .toDF().write.parquet(s"${ice.tablePath("postings")}/$tag")
+    val kept = step.files.filterNot { case (name, _) => fragmented(name) }
+    val files = kept ++ ice.parquetLineageIn("postings", tag)
+    ice.commitStep(StepInfo("postings", ice.tablePath("postings"),
+      files.map(_._2).sum, files,
+      Map("version" -> tag, "compacted" -> "selective",
+        "rewrittenFiles" -> fragmented.size.toString,
+        "keptFiles" -> kept.size.toString)))
+  }
+
   /** Small-file compaction for a row table (corpus/docs/tfrows): rewrite the
     * committed file set into `numFiles` files, committed as a new version.
     * Content-preserving (no ordering contract on these tables — every reader

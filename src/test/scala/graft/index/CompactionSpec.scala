@@ -78,6 +78,45 @@ class CompactionSpec extends AnyFunSuite {
         s"pre-compaction file $f deleted by compaction"))
   }
 
+  test("selective compaction rewrites only split-dominated files; no-op when packed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-compact3-").toString
+    val indexer = new StreamingIndexer(spark, root, cfg)
+    (0 until 4).foreach { k =>
+      indexer.appendBatch(
+        spark.range(k * 64L, (k + 1) * 64L, 1, 2)
+          .map(i => SynthWebText.page(i)))
+    }
+    val compactor = new IndexCompactor(spark, root, cfg)
+    compactor.compactPostings()
+    val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
+    val packedSnap = ice.currentSnapshotId.get
+    val packedFiles = ice.completedSteps("postings").files.map(_._1).toSet
+
+    // fully packed: every (termId, segId) group lives in one file -> no-op
+    assert(compactor.compactPostingsSelective() == packedSnap,
+      "selective compaction must be a no-op on a packed index")
+
+    // fresh append debris on top: 3 small batches sharing segments
+    (4 until 7).foreach { k =>
+      indexer.appendBatch(
+        spark.range(k * 64L, (k + 1) * 64L, 1, 2)
+          .map(i => SynthWebText.page(i)))
+    }
+    val msBefore = postings(root)
+    val blocksBefore = blockCount(root)
+    val snap = compactor.compactPostingsSelective()
+    assert(snap > packedSnap, "debris should trigger a selective rewrite")
+    val after = ice.completedSteps("postings")
+    val kept = after.files.map(_._1).filter(packedFiles)
+    assert(kept.nonEmpty,
+      "selective compaction rewrote the packed files it should have kept")
+    assert(after.metrics("compacted") == "selective")
+    assert(postings(root) == msBefore,
+      "selective compaction changed the decoded posting multiset")
+    assert(blockCount(root) <= blocksBefore)
+  }
+
   test("compactTable: docs content preserved in the requested file count") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-compact2-").toString
