@@ -229,6 +229,29 @@ final class IceTable(val root: String, conf: Configuration) {
     deleted
   }
 
+  /** Expire old snapshot log entries: keep the newest `keepLast` (>= 1)
+    * snapshot files, delete the rest — standard Iceberg expire-snapshots
+    * semantics. Snapshots are self-contained (each carries the full step
+    * map), so surviving ones stay readable; engines pinned to an expired id
+    * keep working off their captured step map but can no longer re-resolve
+    * it from the log. Expiry is what makes maintenance reclaim real space:
+    * [[vacuum]] keeps every file referenced by ANY surviving snapshot, so
+    * pre-compaction files become reclaimable only once the snapshots that
+    * listed them are expired. Returns the expired ids.
+    */
+  def expireSnapshots(keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val dir = new Path(root, "snapshots")
+    if (!fs.exists(dir)) return Nil
+    val ids = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+        s.stripPrefix("snapshot-").stripSuffix(".json").toLong
+      }.sorted
+    val drop = ids.dropRight(keepLast)
+    drop.foreach(id => fs.delete(new Path(dir, s"snapshot-$id.json"), false))
+    drop
+  }
+
   /** Per-file row counts from parquet footers — the per-partition lineage
     * recorded at commit time (derived from the committed artifacts, so it is
     * correct even across resumed builds).

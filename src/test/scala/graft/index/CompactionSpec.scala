@@ -76,6 +76,19 @@ class CompactionSpec extends AnyFunSuite {
     filesBefore.foreach(f =>
       assert(fs.exists(new org.apache.hadoop.fs.Path(f)),
         s"pre-compaction file $f deleted by compaction"))
+
+    // full maintenance lifecycle: vacuum alone reclaims NOTHING (old
+    // snapshots still reference the debris); expire-then-vacuum reclaims it
+    assert(ice.vacuum("postings").isEmpty,
+      "vacuum deleted files still referenced by an unexpired snapshot")
+    val expired = ice.expireSnapshots(keepLast = 1)
+    assert(expired.nonEmpty)
+    val reclaimed = ice.vacuum("postings")
+    assert(reclaimed.nonEmpty,
+      "expire-then-vacuum should reclaim pre-compaction posting files")
+    assert(postings(root) == msBefore,
+      "reclamation changed the committed posting multiset")
+    assert(answers() == before, "query answers changed after reclamation")
   }
 
   test("selective compaction rewrites only split-dominated files; no-op when packed") {
