@@ -70,24 +70,35 @@ final class IceTable(val root: String, conf: Configuration) {
   /** Steps recorded in the current snapshot, in commit order. */
   def completedSteps: ListMap[String, StepInfo] = currentSnapshotId match {
     case None => ListMap.empty
-    case Some(id) =>
-      val p = new Path(root, s"snapshots/snapshot-$id.json")
-      val in = fs.open(p)
-      val node = try mapper.readTree(in) finally in.close()
-      var out = ListMap.empty[String, StepInfo]
-      node.get("steps").forEach { s =>
-        val files = Vector.newBuilder[(String, Long)]
-        s.get("files").forEach(f =>
-          files += ((f.get("name").asText(), f.get("rows").asLong())))
-        val metrics = ListMap.newBuilder[String, String]
-        val it = s.get("metrics").fields()
-        while (it.hasNext) { val e = it.next(); metrics += (e.getKey -> e.getValue.asText()) }
-        val info = StepInfo(s.get("name").asText(), s.get("table").asText(),
-          s.get("rowCount").asLong(), files.result(), metrics.result())
-        out = out + (info.name -> info)
-      }
-      out
+    case Some(id) => stepsAt(id)
   }
+
+  /** Steps of an EXPLICIT snapshot id — time travel: every snapshot is
+    * self-contained, so any unexpired id reproduces its exact table state.
+    */
+  def stepsAt(id: Long): ListMap[String, StepInfo] = {
+    val p = new Path(root, s"snapshots/snapshot-$id.json")
+    val in = fs.open(p)
+    val node = try mapper.readTree(in) finally in.close()
+    var out = ListMap.empty[String, StepInfo]
+    node.get("steps").forEach { s =>
+      val files = Vector.newBuilder[(String, Long)]
+      s.get("files").forEach(f =>
+        files += ((f.get("name").asText(), f.get("rows").asLong())))
+      val metrics = ListMap.newBuilder[String, String]
+      val it = s.get("metrics").fields()
+      while (it.hasNext) { val e = it.next(); metrics += (e.getKey -> e.getValue.asText()) }
+      val info = StepInfo(s.get("name").asText(), s.get("table").asText(),
+        s.get("rowCount").asLong(), files.result(), metrics.result())
+      out = out + (info.name -> info)
+    }
+    out
+  }
+
+  /** Time-travel read: the table exactly as snapshot `id` committed it. */
+  def readTableAt(spark: org.apache.spark.sql.SparkSession, name: String,
+      id: Long): org.apache.spark.sql.DataFrame =
+    readSteps(spark, stepsAt(id), name)
 
   /** Absolute data-file paths of `table` as committed in the current
     * snapshot — the ONLY files a reader may see. Files written by an
@@ -131,41 +142,114 @@ final class IceTable(val root: String, conf: Configuration) {
   /** Commit several steps in ONE atomic snapshot — the streaming appender's
     * unit of visibility: either every table reflects the batch or none does.
     */
-  def commitSteps(newSteps: Seq[StepInfo]): Long = {
-    val parent = currentSnapshotId
-    val newId = parent.getOrElse(-1L) + 1L
-    val steps = newSteps.foldLeft(completedSteps)((m, s) => m + (s.name -> s))
+  def commitSteps(newSteps: Seq[StepInfo]): Long =
+    commitAtomically(_ => newSteps)
 
-    val rootNode: ObjectNode = mapper.createObjectNode()
-    rootNode.put("snapshotId", newId)
-    parent.foreach(p => rootNode.put("parent", p))
-    val arr = rootNode.putArray("steps")
-    steps.values.foreach { s =>
-      val n = arr.addObject()
-      n.put("name", s.name)
-      n.put("table", s.table)
-      n.put("rowCount", s.rowCount)
-      val fa = n.putArray("files")
-      s.files.foreach { case (f, r) =>
-        val fn = fa.addObject(); fn.put("name", f); fn.put("rows", r)
-      }
-      val m = n.putObject("metrics")
-      s.metrics.foreach { case (k, v) => m.put(k, v) }
-    }
-
+  /** Optimistic (compare-and-swap) commit — the Iceberg discipline that
+    * makes concurrent maintenance safe: `make` receives the CURRENT step
+    * map and returns the steps to add/replace; the new snapshot file is
+    * created with overwrite=false, so of two racing committers exactly one
+    * wins the id and the loser RETRIES `make` against the winner's state
+    * instead of silently resurrecting stale file lists (the lost-update a
+    * last-wins commit would produce when an append races a compaction).
+    * Parent resolution unions the LATEST pointer with the log scan, so a
+    * winner that crashed (or is still mid-swap) between snapshot create and
+    * pointer swap cannot make the retry loop spin on a stale parent.
+    */
+  def commitAtomically(make: ListMap[String, StepInfo] => Seq[StepInfo],
+      maxRetries: Int = 50): Long = {
     fs.mkdirs(new Path(root, "snapshots"))
-    val snapPath = new Path(root, s"snapshots/snapshot-$newId.json")
-    val out = fs.create(snapPath, true)
-    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(rootNode))
-    finally out.close()
+    var attempt = 0
+    while (true) {
+      val logMax: Option[Long] = {
+        val dir = new Path(root, "snapshots")
+        fs.listStatus(dir).toSeq.map(_.getPath.getName)
+          .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+            s.stripPrefix("snapshot-").stripSuffix(".json").toLong
+          }.maxOption
+      }
+      val parent: Option[Long] = (currentSnapshotId.toSeq ++ logMax).maxOption
+      val base = parent.map(stepsAt).getOrElse(ListMap.empty)
+      val newId = parent.getOrElse(-1L) + 1L
+      val steps = make(base).foldLeft(base)((m, s) => m + (s.name -> s))
 
+      val rootNode: ObjectNode = mapper.createObjectNode()
+      rootNode.put("snapshotId", newId)
+      parent.foreach(p => rootNode.put("parent", p))
+      val arr = rootNode.putArray("steps")
+      steps.values.foreach { s =>
+        val n = arr.addObject()
+        n.put("name", s.name)
+        n.put("table", s.table)
+        n.put("rowCount", s.rowCount)
+        val fa = n.putArray("files")
+        s.files.foreach { case (f, r) =>
+          val fn = fa.addObject(); fn.put("name", f); fn.put("rows", r)
+        }
+        val m = n.putObject("metrics")
+        s.metrics.foreach { case (k, v) => m.put(k, v) }
+      }
+
+      val snapPath = new Path(root, s"snapshots/snapshot-$newId.json")
+      val created = createExclusive(snapPath,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(rootNode))
+      if (created) {
+        advanceLatest(newId)
+        return newId
+      }
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new IllegalStateException(
+          s"commit lost $maxRetries consecutive races under $root")
+    }
+    -1L // unreachable
+  }
+
+  /** Exclusive create-with-content — the CAS primitive under
+    * [[commitAtomically]]. Local fs: write a unique sibling, then claim the
+    * target via hard link (`link(2)` fails atomically if the target exists —
+    * `FileSystem.create(path, false)` on the local implementations is a
+    * non-atomic exists-check-then-create). HDFS-style filesystems: exclusive
+    * create is enforced server-side, so the plain API call is the CAS.
+    */
+  private def createExclusive(path: Path, bytes: Array[Byte]): Boolean = {
+    val scheme = Option(path.toUri.getScheme)
+      .orElse(Option(fs.getUri.getScheme))
+    if (scheme.forall(_ == "file")) {
+      val p = java.nio.file.Paths.get(
+        new Path(fs.makeQualified(path).toUri.getPath).toString)
+      val tmp = p.resolveSibling(
+        p.getFileName.toString + ".claim-" + java.util.UUID.randomUUID())
+      java.nio.file.Files.write(tmp, bytes)
+      try { java.nio.file.Files.createLink(p, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      try {
+        val out = fs.create(path, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** Move the LATEST pointer forward to `newId` unless a later committer
+    * already advanced it past us (pointer monotonicity; the log scan covers
+    * any window where the pointer lags the snapshot files).
+    */
+  private def advanceLatest(newId: Long): Unit = synchronized {
+    val latest = new Path(root, "LATEST")
+    val cur = currentSnapshotId
+    if (cur.exists(_ >= newId)) return
     val tmp = new Path(root, s"LATEST.tmp-$newId")
     val t = fs.create(tmp, true)
     try t.write(newId.toString.getBytes("UTF-8")) finally t.close()
-    val latest = new Path(root, "LATEST")
     if (fs.exists(latest)) fs.delete(latest, false)
-    require(fs.rename(tmp, latest), s"atomic commit of snapshot $newId failed")
-    newId
+    if (!fs.rename(tmp, latest)) {
+      // a concurrent swap won the rename; the log-scan fallback keeps
+      // readers correct, and the next commit re-advances the pointer
+      fs.delete(tmp, false)
+    }
   }
 
   /** Offline maintenance: delete data files of `table` that NO snapshot in

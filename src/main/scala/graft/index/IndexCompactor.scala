@@ -31,10 +31,20 @@ final class IndexCompactor(spark: SparkSession, root: String,
   /** Rewrite the postings table at full block size; returns the new snapshot
     * id. Pure re-layout: the decoded (termId, docId, tf, dl, positions)
     * multiset is unchanged, so WAND / phrase / scan results are identical.
+    *
+    * The commit is optimistic (`IceTable.commitAtomically`): the new step
+    * drops exactly the files this compaction DECODED from the current list
+    * and keeps everything else — so an append that lands while the rewrite
+    * is running keeps its files in the committed snapshot instead of being
+    * silently dropped by a last-wins commit. `beforeCommit` is a test hook
+    * for injecting exactly that interleaving.
     */
-  def compactPostings(): Long = {
+  def compactPostings(beforeCommit: () => Unit = () => ()): Long = {
     import spark.implicits._
-    val blocks = ice.readTable(spark, "postings").as[PosPostingBlock]
+    val sourceStep = ice.completedSteps("postings")
+    val rewritten = sourceStep.files.map(_._1).toSet
+    val blocks = ice.readSteps(spark, ice.completedSteps, "postings")
+      .as[PosPostingBlock]
     val rows = blocks.flatMap { b =>
       val docs = BlockCodec.decodeDeltaLongs(b.docs, b.n)
       val tfs = BlockCodec.decodeInts(b.tfs, b.n)
@@ -50,11 +60,24 @@ final class IndexCompactor(spark: SparkSession, root: String,
     val tag = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
     IndexBuilder.encodeBlocks(sorted, cfg.blockSize, cfg.docsPerSegment)
       .toDF().write.parquet(s"${ice.tablePath("postings")}/$tag")
-    val files = ice.parquetLineageIn("postings", tag)
-    ice.commitStep(StepInfo("postings", ice.tablePath("postings"),
-      files.map(_._2).sum, files,
-      Map("version" -> tag, "compacted" -> "true")))
+    val newFiles = ice.parquetLineageIn("postings", tag)
+    beforeCommit()
+    commitRewrite(tag, rewritten, newFiles, "true")
   }
+
+  private def commitRewrite(tag: String, rewritten: Set[String],
+      newFiles: Seq[(String, Long)], mode: String): Long =
+    ice.commitAtomically { cur =>
+      val kept = cur("postings").files.filterNot { case (name, _) =>
+        rewritten(name)
+      }
+      val files = kept ++ newFiles
+      Seq(StepInfo("postings", ice.tablePath("postings"),
+        files.map(_._2).sum, files,
+        Map("version" -> tag, "compacted" -> mode,
+          "rewrittenFiles" -> rewritten.size.toString,
+          "keptFiles" -> kept.size.toString)))
+    }
 
   /** Selective compaction — the shape that survives 100 TB: only files
     * dominated by SPLIT posting runs are rewritten (the Iceberg
@@ -111,13 +134,8 @@ final class IndexCompactor(spark: SparkSession, root: String,
     val tag = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
     IndexBuilder.encodeBlocks(sorted, cfg.blockSize, cfg.docsPerSegment)
       .toDF().write.parquet(s"${ice.tablePath("postings")}/$tag")
-    val kept = step.files.filterNot { case (name, _) => fragmented(name) }
-    val files = kept ++ ice.parquetLineageIn("postings", tag)
-    ice.commitStep(StepInfo("postings", ice.tablePath("postings"),
-      files.map(_._2).sum, files,
-      Map("version" -> tag, "compacted" -> "selective",
-        "rewrittenFiles" -> fragmented.size.toString,
-        "keptFiles" -> kept.size.toString)))
+    commitRewrite(tag, fragmented, ice.parquetLineageIn("postings", tag),
+      "selective")
   }
 
   /** Small-file compaction for a row table (corpus/docs/tfrows): rewrite the
@@ -126,13 +144,18 @@ final class IndexCompactor(spark: SparkSession, root: String,
     * sorts or joins by key).
     */
   def compactTable(name: String, numFiles: Int): Long = {
+    val rewritten = ice.completedSteps(name).files.map(_._1).toSet
     val df = ice.readTable(spark, name).repartition(numFiles)
     val tag = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"${ice.tablePath(name)}/$tag")
-    val files = ice.parquetLineageIn(name, tag)
-    ice.commitStep(StepInfo(name, ice.tablePath(name),
-      files.map(_._2).sum, files,
-      Map("version" -> tag, "compacted" -> "true")))
+    val newFiles = ice.parquetLineageIn(name, tag)
+    ice.commitAtomically { cur =>
+      val kept = cur(name).files.filterNot { case (n, _) => rewritten(n) }
+      val files = kept ++ newFiles
+      Seq(StepInfo(name, ice.tablePath(name),
+        files.map(_._2).sum, files,
+        Map("version" -> tag, "compacted" -> "true")))
+    }
   }
 }
 

@@ -140,21 +140,28 @@ final class StreamingIndexer(spark: SparkSession, root: String,
 
     crash("commit")
     // ONE atomic snapshot: append tables keep their committed files + the
-    // batch's; versioned tables (dict, stats) list only the new version
+    // batch's; versioned tables (dict, stats) list only the new version.
+    // The commit is OPTIMISTIC: the appended file lists derive from the
+    // step map at commit time, not from this batch's entry snapshot — if a
+    // compaction (which only re-lays-out files, never changes logical
+    // content) committed while this batch was computing, the retry keeps
+    // the compacted lists and adds only this batch's delta files. Appends
+    // themselves serialize (synchronized + docId/dict assignment).
     def lineage(t: String) = ice.parquetLineageIn(t, tag)
-    def appended(t: String): StepInfo = {
-      val files = steps(t).files ++ lineage(t)
-      StepInfo(t, ice.tablePath(t), files.map(_._2).sum, files,
-        Map("appended" -> "true"))
+    ice.commitAtomically { cur =>
+      def appended(t: String): StepInfo = {
+        val files = cur(t).files ++ lineage(t)
+        StepInfo(t, ice.tablePath(t), files.map(_._2).sum, files,
+          Map("appended" -> "true"))
+      }
+      def versioned(t: String): StepInfo = {
+        val files = lineage(t)
+        StepInfo(t, ice.tablePath(t), files.map(_._2).sum, files,
+          Map("version" -> tag))
+      }
+      Seq(appended("corpus"), appended("docs"), appended("tfrows"),
+        versioned("dict"), appended("postings"), versioned("stats"))
     }
-    def versioned(t: String): StepInfo = {
-      val files = lineage(t)
-      StepInfo(t, ice.tablePath(t), files.map(_._2).sum, files,
-        Map("version" -> tag))
-    }
-    ice.commitSteps(Seq(appended("corpus"), appended("docs"),
-      appended("tfrows"), versioned("dict"), appended("postings"),
-      versioned("stats")))
   }
 
   /** Continuous ingestion from a parquet directory of Page rows. */

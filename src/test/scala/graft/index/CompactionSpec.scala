@@ -130,6 +130,37 @@ class CompactionSpec extends AnyFunSuite {
     assert(blockCount(root) <= blocksBefore)
   }
 
+  test("append landing during compaction survives the optimistic commit") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-compact4-").toString
+    val indexer = new StreamingIndexer(spark, root, cfg)
+    (0 until 3).foreach { k =>
+      indexer.appendBatch(
+        spark.range(k * 100L, (k + 1) * 100L, 1, 2)
+          .map(i => SynthWebText.page(i)))
+    }
+    val msBase = postings(root)
+    // a batch commits BETWEEN the compactor's rewrite and its commit — the
+    // lost-update shape a last-wins commit silently corrupts
+    new IndexCompactor(spark, root, cfg).compactPostings(beforeCommit = () =>
+      indexer.appendBatch(
+        spark.range(300L, 400L, 1, 2).map(i => SynthWebText.page(i))))
+    val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
+    // the racing batch's postings files are still listed
+    assert(ice.completedSteps("postings").files.exists(_._1.startsWith("b")),
+      "concurrent append's posting files were dropped by the compaction commit")
+    // content = compacted base multiset ∪ the racing batch's postings
+    val msAfter = postings(root)
+    assert(msAfter.size > msBase.size)
+    assert(msBase.toSet.subsetOf(msAfter.toSet),
+      "compacted base postings lost in the race")
+    // the racing batch's docs are queryable
+    val eng = new QueryEngine(spark, root)
+    val urls = eng.docsDf.select($"url").as[String].collect().toSet
+    assert(urls.contains(SynthWebText.page(350L).url),
+      "racing batch's documents missing from the committed index")
+  }
+
   test("compactTable: docs content preserved in the requested file count") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-compact2-").toString

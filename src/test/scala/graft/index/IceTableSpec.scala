@@ -55,4 +55,38 @@ class IceTableSpec extends AnyFunSuite {
     ice.commitStep(StepInfo("c", "pc", 3, Nil, Map.empty))
     assert(ice.currentSnapshotId.contains(2L))
   }
+
+  test("concurrent optimistic commits: no lost updates, dense snapshot ids") {
+    val ice = table()
+    ice.commitStep(StepInfo("base", "pb", 1, Nil, Map.empty))
+    val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val latch = new java.util.concurrent.CountDownLatch(n)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    (0 until n).foreach { i =>
+      pool.execute(() => {
+        try ice.commitAtomically(_ =>
+          Seq(StepInfo(s"s$i", s"p$i", i.toLong, Nil, Map.empty)))
+        catch { case t: Throwable => errs.add(t) }
+        finally latch.countDown()
+      })
+    }
+    latch.await()
+    pool.shutdown()
+    assert(errs.isEmpty, s"commit errors: ${errs.peek()}")
+    val steps = ice.completedSteps
+    // every committer's step survives — a last-wins commit would lose some
+    (0 until n).foreach(i => assert(steps.contains(s"s$i"), s"lost s$i"))
+    // base snapshot is id 0, so n successful CAS commits end at id n
+    assert(ice.currentSnapshotId.contains(n.toLong))
+  }
+
+  test("time travel: stepsAt/readTableAt reproduce an older snapshot's state") {
+    val ice = table()
+    ice.commitStep(StepInfo("t", "pt", 1, Seq(("old.parquet", 1)), Map.empty))
+    val oldId = ice.currentSnapshotId.get
+    ice.commitStep(StepInfo("t", "pt", 2, Seq(("new.parquet", 2)), Map.empty))
+    assert(ice.completedSteps("t").files.map(_._1) == Seq("new.parquet"))
+    assert(ice.stepsAt(oldId)("t").files.map(_._1) == Seq("old.parquet"))
+  }
 }
