@@ -26,17 +26,23 @@ import org.apache.spark.unsafe.types.UTF8String
 final class QueryEngine(spark: SparkSession, root: String,
     localPostingsThreshold: Long = 5000000L,
     driverCacheBlocksThreshold: Long = 4000000L,
-    driverCorpusDocsThreshold: Long = 400000L) {
+    driverCorpusDocsThreshold: Long = 400000L,
+    snapshotId: Option[Long] = None) {
   import spark.implicits._
 
   private val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
 
-  /** The engine is PINNED to the snapshot current at construction: every
-    * table read resolves this one manifest, so queries never mix statistics
-    * from one snapshot with postings from another while a streaming append
-    * commits concurrently. A new engine picks up the new snapshot.
+  /** The engine is PINNED to one snapshot — the one current at construction,
+    * or an explicit `snapshotId` (time travel over any unexpired entry):
+    * every table read resolves this one manifest, so queries never mix
+    * statistics from one snapshot with postings from another while a
+    * streaming append commits concurrently. A new engine picks up the new
+    * snapshot.
     */
-  private val snapshot = ice.completedSteps
+  private val snapshot = snapshotId match {
+    case Some(id) => ice.stepsAt(id)
+    case None => ice.completedSteps
+  }
   private def readPinned(name: String): DataFrame =
     ice.readSteps(spark, snapshot, name)
 

@@ -114,6 +114,31 @@ class StreamingIndexerSpec extends AnyFunSuite {
     assert(Seq("corpus", "docs", "dict").flatMap(ice.vacuum).isEmpty)
   }
 
+  test("time-travel engine answers from a pre-append snapshot") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-tt-").toString
+    val indexer = new StreamingIndexer(spark, root, cfg)
+    indexer.appendBatch(spark.range(0L, 300L, 1, 2).map(i => SynthWebText.page(i)))
+    val ice = new graft.index.IceTable(root,
+      spark.sparkContext.hadoopConfiguration)
+    val oldId = ice.currentSnapshotId.get
+    val q = s"${t(0)} ${t(3)}"
+    val before = resultsByUrl(root, q, 15)
+    val nBefore = new QueryEngine(spark, root).stats.n
+
+    indexer.appendBatch(spark.range(300L, 600L, 1, 2).map(i => SynthWebText.page(i)))
+
+    val pinned = new QueryEngine(spark, root, snapshotId = Some(oldId))
+    assert(pinned.stats.n == nBefore, "time-travel engine sees appended docs")
+    val pinnedRes = pinned.searchDf(q, 15).collect()
+      .map(r => (r.getDouble(3), r.getString(2)))
+      .sortBy { case (s, u) => (-s, u) }.toSeq
+    assert(pinnedRes == before,
+      "time-travel engine diverges from the pre-append answer")
+    // and the fresh engine DOES see the append
+    assert(new QueryEngine(spark, root).stats.n == nBefore + 300L)
+  }
+
   test("vacuum of a committed-but-empty table keeps the schema carrier") {
     import graft.index.{IceTable, StepInfo}
     import spark.implicits._
