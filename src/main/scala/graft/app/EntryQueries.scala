@@ -532,6 +532,9 @@ object EntryQueries {
       indexTopK(s, dir)(_.searchMultiPattern(Seq("or", "am"), 15))),
     "conj_topk" -> ((s, dir) =>
       indexTopK(s, dir)(_.searchConjunctive("spark window the", 15))),
+    "conj_not_topk" -> ((s, dir) =>
+      indexTopK(s, dir)(
+        _.searchConjunctive("spark window the", 15, exclude = "merge"))),
     "regex_topk" -> ((s, dir) =>
       indexTopK(s, dir)(_.searchRegex("^[a-z]{3}$", 15))),
 
@@ -928,6 +931,16 @@ object EntryQueries {
       "conj_topk" -> bm25IndexSql(
         "SELECT unnest(['spark','the','window']) AS term",
         "cand AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = 3),",
+        " WHERE tf.doc_id IN (SELECT doc_id FROM cand)", 15),
+      // NOT mode: conjunctive candidates minus docs carrying the excluded
+      // term anywhere (the exclusion check runs over toksrc, i.e. the full
+      // token stream — same semantics as the index's exclusion cursors);
+      // excluded terms contribute no addends
+      "conj_not_topk" -> bm25IndexSql(
+        "SELECT unnest(['spark','the','window']) AS term",
+        """cand AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = 3
+          |  AND doc_id NOT IN
+          |    (SELECT DISTINCT doc_id FROM toksrc WHERE term = 'merge')),""".stripMargin,
         " WHERE tf.doc_id IN (SELECT doc_id FROM cand)", 15),
       // dict terms CONTAINING any pattern (krep substring semantics), capped
       // at 1024 by df DESC (krep.c:3571), ranked as a disjunction

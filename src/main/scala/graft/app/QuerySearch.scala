@@ -11,7 +11,7 @@ import graft.query.QueryEngine
   *   spark-submit --class graft.app.QuerySearch ... <indexRoot> <k> --phrase <exact phrase...>
   *   spark-submit --class graft.app.QuerySearch ... <indexRoot> <k> --multi <pattern> [pattern...]
   *   spark-submit --class graft.app.QuerySearch ... <indexRoot> <k> --regex <regex>
-  *   spark-submit --class graft.app.QuerySearch ... <indexRoot> <k> --and <terms...>
+  *   spark-submit --class graft.app.QuerySearch ... <indexRoot> <k> --and <terms...> [--not <terms...>]
   * }}}
   */
 object QuerySearch {
@@ -24,7 +24,10 @@ object QuerySearch {
       case m @ ("--phrase" | "--multi" | "--regex" | "--and") => m
       case _ => "terms"
     }
-    val rest = args.drop(if (mode == "terms") 2 else 3)
+    val restAll = args.drop(if (mode == "terms") 2 else 3)
+    // `--and a b --not c d`: everything after --not is the exclusion set
+    val (rest, notRest) = restAll.span(_ != "--not")
+    val exclude = notRest.drop(1).mkString(" ")
     val query = rest.mkString(" ")
 
     val spark = withDefaultMaster(SparkSession.builder()
@@ -45,7 +48,9 @@ object QuerySearch {
       case "--phrase" => dump("PHRASE", engine.searchPhrase(query, k))
       case "--multi" => dump("MULTI", engine.searchMultiPattern(rest.toSeq, k))
       case "--regex" => dump("REGEX", engine.searchRegex(query, k))
-      case "--and" => dump("AND", engine.searchConjunctive(query, k))
+      case "--and" =>
+        val tag = if (exclude.isEmpty) "AND" else s"AND-NOT($exclude)"
+        dump(tag, engine.searchConjunctive(query, k, exclude))
       case _ =>
         val rows = engine.searchDf(query, k).collect()
         val ms = (System.nanoTime() - t0) / 1e6

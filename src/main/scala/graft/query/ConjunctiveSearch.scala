@@ -70,12 +70,23 @@ object ConjunctiveSearch {
   /** All conjunctive matches in one segment, in docId order. Emits at most
     * one row per doc; per-segment match count is bounded by the segment's
     * doc span, so callers may materialize a segment's matches.
+    *
+    * `exclBlocks` (NOT mode) holds one block run per excluded term: an
+    * aligned doc is dropped if ANY exclusion cursor lands on it. Exclusion
+    * cursors ride the same positions-free skip machinery as the AND slots
+    * (whole blocks skipped via `lastDoc`), so a hot excluded term costs one
+    * more merge cursor, never a corpus scan — and an excluded term with no
+    * postings in the segment costs nothing.
     */
   def segmentMatches(slotBlocks: Array[Array[PostingBlock]],
-      idfs: Array[Double], avgdl: Double): Iterator[ScoredDoc] = {
+      idfs: Array[Double], avgdl: Double,
+      exclBlocks: Array[Array[PostingBlock]] = Array.empty)
+      : Iterator[ScoredDoc] = {
     val nSlots = slotBlocks.length
     val cursors = slotBlocks.map(new Cursor(_))
     if (cursors.exists(_.exhausted)) return Iterator.empty
+    val excl = exclBlocks.map(new Cursor(_)).filterNot(_.exhausted)
+    val nExcl = excl.length
 
     new Iterator[ScoredDoc] {
       private var pendingDoc = -1L
@@ -100,15 +111,29 @@ object ConjunctiveSearch {
             i += 1
           }
           if (!done && aligned) {
-            // ascending-slot fold == the disjunctive path's summation order
-            var score = 0.0
-            var s = 0
-            while (s < nSlots) {
-              score += Bm25.addend(idfs(s), cursors(s).tf, cursors(s).dl, avgdl)
-              s += 1
+            // NOT filter: an exclusion cursor sitting exactly on the aligned
+            // doc vetoes it (exhausted exclusion cursors stop being checked)
+            var vetoed = false
+            var x = 0
+            while (x < nExcl) {
+              val c = excl(x)
+              if (!c.exhausted) {
+                c.advanceTo(target)
+                if (!c.exhausted && c.doc == target) vetoed = true
+              }
+              x += 1
             }
-            pendingDoc = target
-            pendingScore = score
+            if (!vetoed) {
+              // ascending-slot fold == the disjunctive path's summation order
+              var score = 0.0
+              var s = 0
+              while (s < nSlots) {
+                score += Bm25.addend(idfs(s), cursors(s).tf, cursors(s).dl, avgdl)
+                s += 1
+              }
+              pendingDoc = target
+              pendingScore = score
+            }
             i = 0
             while (i < nSlots) {
               cursors(i).next()

@@ -18,10 +18,13 @@ import graft.krep.{functions => K}
 object NaiveSearch {
 
   def topK(spark: SparkSession, pages: Dataset[Page], query: String, k: Int,
-      partitions: Int = 32, conjunctive: Boolean = false): Array[ScoredDoc] = {
+      partitions: Int = 32, conjunctive: Boolean = false,
+      exclude: String = ""): Array[ScoredDoc] = {
     import spark.implicits._
     val terms = new QueryEngineTerms().canonical(query)
     if (terms.isEmpty) return Array.empty
+    val exclTerms = new QueryEngineTerms().canonical(exclude)
+    if (exclTerms.exists(terms.contains)) return Array.empty
 
     val docs = Ranker.denseIdsByKey(
       pages.select($"url", size(K.krep_tokenize($"text")).as("dl")),
@@ -53,6 +56,12 @@ object NaiveSearch {
       }
       .toDF("docId", "termIdx", "addend")
 
+    // NOT oracle: docs carrying any excluded term, dropped by anti-join
+    val exclDocs =
+      if (exclTerms.isEmpty) spark.emptyDataset[Long].toDF("docId")
+      else tf.filter($"term".isin(exclTerms.toSeq: _*))
+        .join(docs, "url").select($"docId").distinct()
+
     // deterministic fold: sort addends by term index, sum left-to-right;
     // conjunctive mode keeps only docs carrying every query term (one
     // addend per distinct query term present)
@@ -60,6 +69,7 @@ object NaiveSearch {
       .groupBy($"docId")
       .agg(sort_array(collect_list(struct($"termIdx", $"addend"))).as("parts"))
       .filter(!lit(conjunctive) || size($"parts") === terms.length)
+      .join(exclDocs, Seq("docId"), "left_anti")
       .select($"docId",
         aggregate($"parts", lit(0.0), (acc, x) => acc + x("addend")).as("score"))
       .orderBy($"score".desc, $"docId".asc)

@@ -305,21 +305,37 @@ final class QueryEngine(spark: SparkSession, root: String,
     }
   }
 
-  /** Conjunctive query mode: exact BM25 top-k over docs containing ALL query
-    * terms — the index lift of AND-composing krep scans (`krep p1 | krep
-    * p2`; the reference's own multi-pattern mode is the disjunction). Same
-    * three physical strategies as [[searchTerms]]; the per-segment kernel is
-    * the positions-free leapfrog intersection ([[ConjunctiveSearch]]), and a
-    * query term absent from the dictionary empties the result by definition.
+  /** Conjunctive query mode with optional exclusion: exact BM25 top-k over
+    * docs containing ALL query terms and NONE of the `exclude` terms — the
+    * index lift of AND/NOT-composing krep scans (`krep p1 | krep p2`,
+    * negation being the pipe stage a shell user writes as `grep -v`; the
+    * reference's own multi-pattern mode is the disjunction). Same three
+    * physical strategies as [[searchTerms]]; the per-segment kernel is the
+    * positions-free leapfrog intersection ([[ConjunctiveSearch]]) with
+    * exclusion cursors vetoing aligned docs. A query term absent from the
+    * dictionary empties the result by definition; an ABSENT excluded term is
+    * a no-op (nothing to veto), and a term that is both required and
+    * excluded empties the result. Excluded terms never contribute score.
+    *
+    * Scale: an exclusion slot costs exactly one more positions-free merge
+    * cursor over that term's pruned posting blocks — proportional to the
+    * excluded term's posting size, never a corpus scan, and the parquet
+    * `termId IN` pushdown covers positive and excluded ids in one scan.
     */
-  def searchConjunctive(query: String, k: Int): Array[ScoredDoc] = {
+  def searchConjunctive(query: String, k: Int,
+      exclude: String = ""): Array[ScoredDoc] = {
     val terms = canonicalTerms(query)
     if (terms.isEmpty) return Array.empty
+    val exclTerms = canonicalTerms(exclude)
+    if (exclTerms.exists(terms.contains)) return Array.empty // p AND NOT p
     val metas = lookupTerms(terms)
     if (metas.length < terms.length) return Array.empty // a term is absent
-    val ids = metas.map(_.termId)
+    val exclMetas = lookupTerms(exclTerms) // absent excluded terms drop out
+    val ids = metas.map(_.termId) ++ exclMetas.map(_.termId)
     val idxOf = metas.map(m => m.termId -> m.termIdx).toMap
+    val exIdxOf = exclMetas.zipWithIndex.map { case (m, i) => m.termId -> i }.toMap
     val nSlots = terms.length
+    val nExcl = exclMetas.length
     val idfs = new Array[Double](nSlots)
     metas.foreach(m => idfs(m.termIdx) = m.idf)
     val avgdl = stats.avgdl
@@ -334,9 +350,17 @@ final class QueryEngine(spark: SparkSession, root: String,
     def conjOnSegment(segBlocks: Iterator[PostingBlock]): Iterator[ScoredDoc] = {
       val bySlot = Array.fill(nSlots)(
         scala.collection.mutable.ArrayBuffer.empty[PostingBlock])
-      segBlocks.foreach(b => bySlot(idxOf(b.termId)) += b)
+      val byExcl = Array.fill(nExcl)(
+        scala.collection.mutable.ArrayBuffer.empty[PostingBlock])
+      segBlocks.foreach { b =>
+        idxOf.get(b.termId) match {
+          case Some(i) => bySlot(i) += b
+          case None => byExcl(exIdxOf(b.termId)) += b
+        }
+      }
       ConjunctiveSearch.segmentMatches(
-        bySlot.map(_.toArray.sortBy(_.firstDoc)), idfs, avgdl)
+        bySlot.map(_.toArray.sortBy(_.firstDoc)), idfs, avgdl,
+        byExcl.map(_.toArray.sortBy(_.firstDoc)))
         .toArray.sortBy(d => (-d.score, d.docId)).take(k0).iterator
     }
 
@@ -357,10 +381,11 @@ final class QueryEngine(spark: SparkSession, root: String,
     }
 
     if (driverCacheable) {
-      bySegmentRuns(metas.iterator
-        .flatMap(m => driverBlocks.getOrElse(m.termId, Array.empty[PostingBlock]))
+      bySegmentRuns(ids.iterator
+        .flatMap(id => driverBlocks.getOrElse(id, Array.empty[PostingBlock]))
         .toArray)
-    } else if (metas.map(_.df).sum <= localPostingsThreshold) {
+    } else if ((metas.map(_.df).sum + exclMetas.map(_.df).sum)
+        <= localPostingsThreshold) {
       bySegmentRuns(blocks.collect())
     } else {
       blocks

@@ -223,6 +223,49 @@ class IndexQuerySpec extends AnyFunSuite {
       "distributed conjunctive strategy diverges")
   }
 
+  test("exclusion (NOT) mode == brute-force AND-NOT BM25, all three strategies") {
+    val engine = new QueryEngine(spark, indexRoot)
+    // (positives, excluded): hot NOT hot, multi NOT cold, marker NOT hot
+    val cases = Seq(
+      (s"${t(0)} ${t(1)}", t(2)),
+      (s"${t(3)} ${t(7)}", t(2000)),
+      (t(100), t(0)),
+      (SynthWebText.Markers(0), t(5)))
+    cases.foreach { case (q, ex) =>
+      val got = engine.searchConjunctive(q, 10, exclude = ex)
+      val want = NaiveSearch.topK(spark, pages, q, 10, 4,
+        conjunctive = true, exclude = ex)
+      assert(got.map(s => (s.docId, s.score)).toSeq ==
+        want.map(s => (s.docId, s.score)).toSeq,
+        s"exclusion mode diverges on '$q' NOT '$ex'")
+      // exclusion really excludes: no surviving doc carries the excluded term
+      val exDocs = engine.search(ex, Int.MaxValue / 2).map(_.docId).toSet
+      got.foreach(s => assert(!exDocs.contains(s.docId),
+        s"doc ${s.docId} carries excluded term '$ex' ('$q')"))
+      // and is a pure filter of the conjunction (same scores, subset docs)
+      val conj = engine.searchConjunctive(q, 2000).map(s => s.docId -> s.score).toMap
+      got.foreach(s => assert(conj.get(s.docId).contains(s.score),
+        s"excluded-mode score for doc ${s.docId} not a conjunctive score ('$q')"))
+    }
+    // an excluded term absent from the dict is a no-op
+    val q0 = s"${t(0)} ${t(1)}"
+    assert(engine.searchConjunctive(q0, 10, exclude = "zzzqqqxxxnotaword").toSeq ==
+      engine.searchConjunctive(q0, 10).toSeq)
+    // excluding a required term empties the result
+    assert(engine.searchConjunctive(q0, 10, exclude = t(0)).isEmpty)
+    // the other physical strategies agree
+    val pruned = new QueryEngine(spark, indexRoot,
+      driverCacheBlocksThreshold = 0L)
+    val distributed = new QueryEngine(spark, indexRoot,
+      localPostingsThreshold = 0L, driverCacheBlocksThreshold = 0L)
+    val (q, ex) = cases(1)
+    val a = engine.searchConjunctive(q, 10, exclude = ex)
+    assert(pruned.searchConjunctive(q, 10, exclude = ex).toSeq == a.toSeq,
+      "pruned-scan exclusion strategy diverges")
+    assert(distributed.searchConjunctive(q, 10, exclude = ex).toSeq == a.toSeq,
+      "distributed exclusion strategy diverges")
+  }
+
   test("searchDf resolves urls and preserves rank order") {
     val engine = new QueryEngine(spark, indexRoot)
     val df = engine.searchDf(t(100), 5).collect()
