@@ -45,27 +45,39 @@ final class IceTable(val root: String, conf: Configuration) {
 
   // --- snapshot log ---------------------------------------------------------
 
-  def currentSnapshotId: Option[Long] = {
+  /** Raw contents of the LATEST pointer file, if present and parsable. */
+  private def latestPointer: Option[Long] = {
     val p = new Path(root, "LATEST")
-    if (fs.exists(p)) {
+    if (!fs.exists(p)) None
+    else {
       val in = fs.open(p)
       try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
       finally in.close()
-    } else {
-      // local-fs rename cannot overwrite, so the pointer swap is
-      // delete+rename; a crash inside that window loses only the pointer —
-      // recover it from the immutable snapshot log itself
-      val dir = new Path(root, "snapshots")
-      if (!fs.exists(dir)) None
-      else {
-        val ids = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-          .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
-            s.stripPrefix("snapshot-").stripSuffix(".json").toLong
-          }
-        ids.maxOption
-      }
     }
   }
+
+  /** Max id present in the immutable snapshot log. */
+  private def logMaxId: Option[Long] = {
+    val dir = new Path(root, "snapshots")
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+        s.stripPrefix("snapshot-").stripSuffix(".json").toLong
+      }.maxOption
+  }
+
+  /** Current snapshot = max(LATEST pointer, snapshot-log max). Resolution is
+    * robust on the READER side instead of trusting the pointer: the pointer
+    * swap (delete+rename on local fs) is not atomic across processes, so a
+    * slow committer can briefly install an OLDER id over a newer one, and a
+    * committer that crashes between snapshot create and pointer swap leaves
+    * the pointer lagging. In both windows the log scan restores the true
+    * head — the same id the next commit would resolve as its parent (commit
+    * parent resolution has always unioned the log), so readers and
+    * committers agree on the head at all times.
+    */
+  def currentSnapshotId: Option[Long] =
+    (latestPointer.toSeq ++ logMaxId).maxOption
 
   /** Steps recorded in the current snapshot, in commit order. */
   def completedSteps: ListMap[String, StepInfo] = currentSnapshotId match {
@@ -161,41 +173,45 @@ final class IceTable(val root: String, conf: Configuration) {
     fs.mkdirs(new Path(root, "snapshots"))
     var attempt = 0
     while (true) {
-      val logMax: Option[Long] = {
-        val dir = new Path(root, "snapshots")
-        fs.listStatus(dir).toSeq.map(_.getPath.getName)
-          .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
-            s.stripPrefix("snapshot-").stripSuffix(".json").toLong
-          }.maxOption
-      }
-      val parent: Option[Long] = (currentSnapshotId.toSeq ++ logMax).maxOption
-      val base = parent.map(stepsAt).getOrElse(ListMap.empty)
-      val newId = parent.getOrElse(-1L) + 1L
-      val steps = make(base).foldLeft(base)((m, s) => m + (s.name -> s))
+      // currentSnapshotId already unions the LATEST pointer with the log
+      // scan, so a winner that crashed (or is mid-swap) between snapshot
+      // create and pointer swap cannot make this loop spin on a stale parent
+      val parent: Option[Long] = currentSnapshotId
+      // a concurrent expireSnapshots may delete the parent id between
+      // resolution and read — count it as a lost race and re-resolve
+      val base: Option[ListMap[String, StepInfo]] =
+        try Some(parent.map(stepsAt).getOrElse(ListMap.empty))
+        catch { case _: java.io.FileNotFoundException => None }
+      base match {
+        case Some(b) =>
+          val newId = parent.getOrElse(-1L) + 1L
+          val steps = make(b).foldLeft(b)((m, s) => m + (s.name -> s))
 
-      val rootNode: ObjectNode = mapper.createObjectNode()
-      rootNode.put("snapshotId", newId)
-      parent.foreach(p => rootNode.put("parent", p))
-      val arr = rootNode.putArray("steps")
-      steps.values.foreach { s =>
-        val n = arr.addObject()
-        n.put("name", s.name)
-        n.put("table", s.table)
-        n.put("rowCount", s.rowCount)
-        val fa = n.putArray("files")
-        s.files.foreach { case (f, r) =>
-          val fn = fa.addObject(); fn.put("name", f); fn.put("rows", r)
-        }
-        val m = n.putObject("metrics")
-        s.metrics.foreach { case (k, v) => m.put(k, v) }
-      }
+          val rootNode: ObjectNode = mapper.createObjectNode()
+          rootNode.put("snapshotId", newId)
+          parent.foreach(p => rootNode.put("parent", p))
+          val arr = rootNode.putArray("steps")
+          steps.values.foreach { s =>
+            val n = arr.addObject()
+            n.put("name", s.name)
+            n.put("table", s.table)
+            n.put("rowCount", s.rowCount)
+            val fa = n.putArray("files")
+            s.files.foreach { case (f, r) =>
+              val fn = fa.addObject(); fn.put("name", f); fn.put("rows", r)
+            }
+            val m = n.putObject("metrics")
+            s.metrics.foreach { case (k, v) => m.put(k, v) }
+          }
 
-      val snapPath = new Path(root, s"snapshots/snapshot-$newId.json")
-      val created = createExclusive(snapPath,
-        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(rootNode))
-      if (created) {
-        advanceLatest(newId)
-        return newId
+          val snapPath = new Path(root, s"snapshots/snapshot-$newId.json")
+          val created = createExclusive(snapPath,
+            mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(rootNode))
+          if (created) {
+            advanceLatest(newId)
+            return newId
+          }
+        case None => // parent expired under us — retry
       }
       attempt += 1
       if (attempt > maxRetries)
@@ -206,11 +222,16 @@ final class IceTable(val root: String, conf: Configuration) {
   }
 
   /** Exclusive create-with-content — the CAS primitive under
-    * [[commitAtomically]]. Local fs: write a unique sibling, then claim the
-    * target via hard link (`link(2)` fails atomically if the target exists —
-    * `FileSystem.create(path, false)` on the local implementations is a
-    * non-atomic exists-check-then-create). HDFS-style filesystems: exclusive
-    * create is enforced server-side, so the plain API call is the CAS.
+    * [[commitAtomically]]. Both branches write the FULL content to a unique
+    * sibling first and only then claim the target name atomically, so a
+    * writer that dies mid-write can never leave a truncated snapshot file
+    * under the claimed name (a corrupt max-id file would wedge every later
+    * reader and committer). Local fs: claim via hard link (`link(2)` fails
+    * atomically if the target exists — `FileSystem.create(path, false)` on
+    * the local implementations is a non-atomic exists-check-then-create).
+    * HDFS-style filesystems: claim via `rename`, which does not overwrite an
+    * existing target; a false return or IOException means the CAS was lost
+    * (or failed safely — the target name was never touched).
     */
   private def createExclusive(path: Path, bytes: Array[Byte]): Boolean = {
     val scheme = Option(path.toUri.getScheme)
@@ -225,11 +246,16 @@ final class IceTable(val root: String, conf: Configuration) {
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
       finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
+      val tmp = new Path(path.getParent,
+        path.getName + ".claim-" + java.util.UUID.randomUUID())
       try {
-        val out = fs.create(path, false)
+        val out = fs.create(tmp, false)
         try out.write(bytes) finally out.close()
-        true
+        // HDFS rename is atomic and fails (returns false) when the target
+        // exists — a crash before this line leaves only the .claim sibling
+        fs.rename(tmp, path)
       } catch { case _: java.io.IOException => false }
+      finally { try fs.delete(tmp, false) catch { case _: java.io.IOException => () } }
     }
   }
 
@@ -268,18 +294,25 @@ final class IceTable(val root: String, conf: Configuration) {
     val referenced: Set[String] = {
       val snapDir = new Path(root, "snapshots")
       if (!fs.exists(snapDir)) Set.empty
-      else fs.listStatus(snapDir).toSeq.flatMap { st =>
-        val in = fs.open(st.getPath)
-        val node = try mapper.readTree(in) finally in.close()
-        val files = Vector.newBuilder[String]
-        node.get("steps").forEach { s =>
-          if (s.get("name").asText() == table) {
-            committed = true
-            s.get("files").forEach(f => files += f.get("name").asText())
-          }
+      else fs.listStatus(snapDir).toSeq
+        // only committed snapshot files: .claim-* siblings of an in-flight
+        // or crashed CAS are not part of the log (and may be mid-write)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("snapshot-") && n.endsWith(".json")
         }
-        files.result()
-      }.toSet
+        .flatMap { st =>
+          val in = fs.open(st.getPath)
+          val node = try mapper.readTree(in) finally in.close()
+          val files = Vector.newBuilder[String]
+          node.get("steps").forEach { s =>
+            if (s.get("name").asText() == table) {
+              committed = true
+              s.get("files").forEach(f => files += f.get("name").asText())
+            }
+          }
+          files.result()
+        }.toSet
     }
     def walk(p: Path, rel: String): Seq[(Path, String)] =
       fs.listStatus(p).toSeq.flatMap { st =>
@@ -331,7 +364,11 @@ final class IceTable(val root: String, conf: Configuration) {
       .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
         s.stripPrefix("snapshot-").stripSuffix(".json").toLong
       }.sorted
-    val drop = ids.dropRight(keepLast)
+    // never delete the id the LATEST pointer references (or anything newer):
+    // if the pointer lags or briefly regressed, expiring its target would
+    // break completedSteps for every reader that resolves the pointer
+    val floor = latestPointer.orElse(logMaxId).getOrElse(Long.MinValue)
+    val drop = ids.dropRight(keepLast).filter(_ < floor)
     drop.foreach(id => fs.delete(new Path(dir, s"snapshot-$id.json"), false))
     drop
   }

@@ -41,9 +41,13 @@ final class IndexCompactor(spark: SparkSession, root: String,
     */
   def compactPostings(beforeCommit: () => Unit = () => ()): Long = {
     import spark.implicits._
-    val sourceStep = ice.completedSteps("postings")
-    val rewritten = sourceStep.files.map(_._1).toSet
-    val blocks = ice.readSteps(spark, ice.completedSteps, "postings")
+    // ONE snapshot capture drives both the rewritten-file set and the read:
+    // resolving completedSteps twice would let an append commit in between,
+    // decoding its postings into the rewrite while commitRewrite also keeps
+    // its original files — duplicating that batch
+    val snap = ice.completedSteps
+    val rewritten = snap("postings").files.map(_._1).toSet
+    val blocks = ice.readSteps(spark, snap, "postings")
       .as[PosPostingBlock]
     val rows = blocks.flatMap { b =>
       val docs = BlockCodec.decodeDeltaLongs(b.docs, b.n)
@@ -65,9 +69,20 @@ final class IndexCompactor(spark: SparkSession, root: String,
     commitRewrite(tag, rewritten, newFiles, "true")
   }
 
+  /** Commit a rewrite optimistically. The make closure re-verifies against
+    * the CURRENT snapshot that every file this rewrite decoded is still
+    * listed: a concurrent compaction that already replaced any of them makes
+    * this rewrite a stale duplicate of the same postings — committing it
+    * would double that content (the loser would keep the winner's rewrite
+    * AND add its own copy). The stale loser aborts as a no-op: its output
+    * files are deleted and the current snapshot id is returned unchanged.
+    */
   private def commitRewrite(tag: String, rewritten: Set[String],
       newFiles: Seq[(String, Long)], mode: String): Long =
-    ice.commitAtomically { cur =>
+    try ice.commitAtomically { cur =>
+      val curNames = cur("postings").files.map(_._1).toSet
+      if (!rewritten.forall(curNames))
+        throw IndexCompactor.StaleRewrite
       val kept = cur("postings").files.filterNot { case (name, _) =>
         rewritten(name)
       }
@@ -77,6 +92,13 @@ final class IndexCompactor(spark: SparkSession, root: String,
         Map("version" -> tag, "compacted" -> mode,
           "rewrittenFiles" -> rewritten.size.toString,
           "keptFiles" -> kept.size.toString)))
+    } catch {
+      case IndexCompactor.StaleRewrite =>
+        val fs = new org.apache.hadoop.fs.Path(ice.tablePath("postings"))
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${ice.tablePath("postings")}/$tag"), true)
+        ice.currentSnapshotId.get
     }
 
   /** Selective compaction — the shape that survives 100 TB: only files
@@ -98,9 +120,10 @@ final class IndexCompactor(spark: SparkSession, root: String,
     */
   def compactPostingsSelective(minSplitFrac: Double = 0.3): Long = {
     import spark.implicits._
-    val step = ice.completedSteps("postings")
+    val snap = ice.completedSteps // one capture: plan and read the same state
+    val step = snap("postings")
     val committed = step.files.map { case (name, _) => name }
-    val meta = ice.readTable(spark, "postings")
+    val meta = ice.readSteps(spark, snap, "postings")
       .select(input_file_name().as("f"), $"termId", $"segId")
     val splitGroups = meta.groupBy($"termId", $"segId")
       .agg(countDistinct($"f").as("nf"))
@@ -144,22 +167,40 @@ final class IndexCompactor(spark: SparkSession, root: String,
     * sorts or joins by key).
     */
   def compactTable(name: String, numFiles: Int): Long = {
-    val rewritten = ice.completedSteps(name).files.map(_._1).toSet
-    val df = ice.readTable(spark, name).repartition(numFiles)
+    val snap = ice.completedSteps // one capture: plan and read the same state
+    val rewritten = snap(name).files.map(_._1).toSet
+    val df = ice.readSteps(spark, snap, name).repartition(numFiles)
     val tag = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"${ice.tablePath(name)}/$tag")
     val newFiles = ice.parquetLineageIn(name, tag)
-    ice.commitAtomically { cur =>
+    try ice.commitAtomically { cur =>
+      val curNames = cur(name).files.map(_._1).toSet
+      if (!rewritten.forall(curNames))
+        throw IndexCompactor.StaleRewrite // same loser-aborts rule as postings
       val kept = cur(name).files.filterNot { case (n, _) => rewritten(n) }
       val files = kept ++ newFiles
       Seq(StepInfo(name, ice.tablePath(name),
         files.map(_._2).sum, files,
         Map("version" -> tag, "compacted" -> "true")))
+    } catch {
+      case IndexCompactor.StaleRewrite =>
+        val fs = new org.apache.hadoop.fs.Path(ice.tablePath(name))
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${ice.tablePath(name)}/$tag"), true)
+        ice.currentSnapshotId.get
     }
   }
 }
 
 object IndexCompactor {
+  /** Control-flow sentinel: a rewrite lost a compaction-vs-compaction race
+    * (its decoded source files are no longer all in the current snapshot).
+    */
+  private object StaleRewrite extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
   /** Slice a block's concatenated position strips into per-posting strips:
     * posting i owns the next `tfs(i)` varints. Byte-exact — the slices
     * re-concatenate to the original buffer in any regrouping.

@@ -161,6 +161,47 @@ class CompactionSpec extends AnyFunSuite {
       "racing batch's documents missing from the committed index")
   }
 
+  test("two racing compactions: loser aborts as a no-op, no duplicated postings") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-compact5-").toString
+    val indexer = new StreamingIndexer(spark, root, cfg)
+    (0 until 4).foreach { k =>
+      indexer.appendBatch(
+        spark.range(k * 100L, (k + 1) * 100L, 1, 2)
+          .map(i => SynthWebText.page(i)))
+    }
+    val msBefore = postings(root)
+    val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
+    // a SECOND full compaction commits inside the first one's write→commit
+    // window: both decoded the same source files, so the slower committer's
+    // rewrite is a byte-duplicate of content the winner already replaced —
+    // committing it would double every posting (the pre-fix behavior)
+    var winnerSnap = -1L
+    val compactor = new IndexCompactor(spark, root, cfg)
+    val loserSnap = compactor.compactPostings(beforeCommit = () => {
+      winnerSnap = new IndexCompactor(spark, root, cfg).compactPostings()
+    })
+    assert(winnerSnap > 0)
+    assert(loserSnap == winnerSnap,
+      "stale compaction must no-op at the winner's snapshot, not commit")
+    assert(ice.currentSnapshotId.contains(winnerSnap))
+    assert(postings(root) == msBefore,
+      "racing compactions duplicated or lost postings")
+    // the loser's orphaned rewrite output was cleaned up eagerly
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+    val live = ice.completedSteps("postings").files.map(_._1).toSet
+    val onDiskCompactDirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(ice.tablePath("postings")))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("compact-")).toSet
+    val liveCompactDirs = live.collect {
+      case f if f.startsWith("compact-") => f.split("/")(0)
+    }
+    assert(onDiskCompactDirs == liveCompactDirs,
+      s"stale rewrite left orphan dirs: ${onDiskCompactDirs diff liveCompactDirs}")
+  }
+
   test("compactTable: docs content preserved in the requested file count") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-compact2-").toString

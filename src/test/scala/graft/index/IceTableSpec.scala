@@ -81,6 +81,37 @@ class IceTableSpec extends AnyFunSuite {
     assert(ice.currentSnapshotId.contains(n.toLong))
   }
 
+  test("regressed LATEST pointer is overridden by the snapshot-log scan") {
+    val ice = table()
+    ice.commitStep(StepInfo("a", "pa", 1, Nil, Map.empty))
+    ice.commitStep(StepInfo("b", "pb", 2, Nil, Map.empty))
+    // simulate a slow committer re-installing an OLDER pointer after a newer
+    // one was already swapped in (the non-atomic check-delete-rename window)
+    val latest = java.nio.file.Paths.get(ice.root, "LATEST")
+    java.nio.file.Files.write(latest, "0".getBytes("UTF-8"))
+    // readers resolve the true head from the log, not the stale pointer
+    assert(ice.currentSnapshotId.contains(1L))
+    assert(ice.completedSteps.keySet == Set("a", "b"))
+    // and the next commit chains off the true head
+    ice.commitStep(StepInfo("c", "pc", 3, Nil, Map.empty))
+    assert(ice.currentSnapshotId.contains(2L))
+    assert(ice.completedSteps.keySet == Set("a", "b", "c"))
+  }
+
+  test("expireSnapshots never deletes the id LATEST references or newer") {
+    val ice = table()
+    (0 to 4).foreach(i =>
+      ice.commitStep(StepInfo(s"s$i", s"p$i", i.toLong, Nil, Map.empty)))
+    // pointer regressed to 2 (mid-swap committer): ids >= 2 must survive any
+    // expiry or pointer-resolving readers would hit a missing snapshot
+    val latest = java.nio.file.Paths.get(ice.root, "LATEST")
+    java.nio.file.Files.write(latest, "2".getBytes("UTF-8"))
+    val dropped = ice.expireSnapshots(keepLast = 1)
+    assert(dropped == Seq(0L, 1L), s"dropped $dropped")
+    assert(ice.stepsAt(2L).nonEmpty) // the referenced snapshot still reads
+    assert(ice.currentSnapshotId.contains(4L))
+  }
+
   test("time travel: stepsAt/readTableAt reproduce an older snapshot's state") {
     val ice = table()
     ice.commitStep(StepInfo("t", "pt", 1, Seq(("old.parquet", 1)), Map.empty))
