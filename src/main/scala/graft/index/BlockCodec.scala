@@ -101,6 +101,21 @@ object BlockCodec {
   def packPositions(xs: Array[Int]): Array[Byte] =
     encodePosLists(Array(xs))
 
+  /** Number of varints in a strip = bytes whose continuation bit is clear.
+    * A packed position strip holds exactly one varint per position, so this
+    * recovers tf from posv alone — the build's wide exchange can drop the tf
+    * column entirely and re-derive it at block-encode time.
+    */
+  def countVarints(bytes: Array[Byte]): Int = {
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0x80) == 0) n += 1
+      i += 1
+    }
+    n
+  }
+
   /** Decode position lists; `tfs(i)` gives the i-th list's length. */
   def decodePosLists(bytes: Array[Byte], tfs: Array[Int]): Array[Array[Int]] = {
     val out = new Array[Array[Int]](tfs.length)

@@ -52,7 +52,11 @@ final case class IndexConfig(
     docsPerSegment: Long = 1L << 16,
     partitions: Int = 32,
     // dict rows under this → broadcast hash join into postings build
-    dictBroadcastThreshold: Long = 2000000L)
+    dictBroadcastThreshold: Long = 2000000L,
+    // docs under this → dl travels to the block encoders as one broadcast
+    // Int per doc (16M docs = 64 MB) and the postings exchange drops its
+    // tf AND dl columns; above it, dl rides the exchange as before
+    dlBroadcastMaxDocs: Long = 16000000L)
 
 final case class IndexStats(n: Long, avgdl: Double)
 
@@ -169,16 +173,35 @@ final class IndexBuilder(spark: SparkSession, root: String,
       // (terms-per-segment × docsPerSegment); unlike repartitionByRange this
       // needs no sampling pass over the joined input. Blocks never span
       // segments, so per-term blocks stay globally mergeable sorted runs.
-      val rows = tfr.join(dictJ, "term")
-        .select($"termId", $"docId", $"tf".cast("int"), $"dl".cast("int"),
-          $"posv")
-        .as[(Long, Long, Int, Int, Array[Byte])]
-        .repartition(cfg.partitions, $"termId",
-          floor($"docId" / cfg.docsPerSegment))
-        .sortWithinPartitions($"termId", $"docId")
-
-      write(IndexBuilder.encodeBlocks(rows, cfg.blockSize, cfg.docsPerSegment)
-        .toDF(), "postings")
+      val nDocs = ice.completedSteps("docs").rowCount
+      val blocks = if (nDocs <= cfg.dlBroadcastMaxDocs) {
+        // slim exchange: tf is the posv strip's varint count, dl comes from
+        // a broadcast dense-docId table — the repartition+sort moves only
+        // (termId, docId, posv), the minimum that determines the blocks
+        val dlArr = new Array[Int](nDocs.toInt)
+        ice.readTable(spark, "docs")
+          .select($"docId", $"dl".cast("int")).as[(Long, Int)]
+          .collect().foreach { case (d, l) => dlArr(d.toInt) = l }
+        val dlt = spark.sparkContext.broadcast(IndexBuilder.DlTable(0L, dlArr))
+        val rows = tfr.join(dictJ, "term")
+          .select($"termId", $"docId", $"posv")
+          .as[(Long, Long, Array[Byte])]
+          .repartition(cfg.partitions, $"termId",
+            floor($"docId" / cfg.docsPerSegment))
+          .sortWithinPartitions($"termId", $"docId")
+        IndexBuilder.encodeBlocksSlim(rows, dlt, cfg.blockSize,
+          cfg.docsPerSegment)
+      } else {
+        val rows = tfr.join(dictJ, "term")
+          .select($"termId", $"docId", $"tf".cast("int"), $"dl".cast("int"),
+            $"posv")
+          .as[(Long, Long, Int, Int, Array[Byte])]
+          .repartition(cfg.partitions, $"termId",
+            floor($"docId" / cfg.docsPerSegment))
+          .sortWithinPartitions($"termId", $"docId")
+        IndexBuilder.encodeBlocks(rows, cfg.blockSize, cfg.docsPerSegment)
+      }
+      write(blocks.toDF(), "postings")
     }
 
     ran.result()
@@ -193,6 +216,19 @@ final class IndexBuilder(spark: SparkSession, root: String,
 }
 
 object IndexBuilder {
+  /** Dense-docId → doc length lookup, broadcast to the block encoders so the
+    * build's widest exchange does not have to carry a `dl` column at all.
+    * docIds are dense from `base` (0 for the batch build; the committed doc
+    * count for a streaming delta), so the table is one Int per doc — 4 MB
+    * per million docs. [[IndexConfig.dlBroadcastMaxDocs]] gates the size; a
+    * corpus beyond it falls back to carrying dl through the exchange (at
+    * 10^12 docs the upgrade path is a per-segment doc-values sidecar read by
+    * the encoder's own partition, not a broadcast).
+    */
+  final case class DlTable(base: Long, dls: Array[Int]) {
+    def apply(docId: Long): Int = dls((docId - base).toInt)
+  }
+
   /** Encode (termId, docId, tf, dl, packedPositions) rows — sorted by
     * (termId, docId) within partitions, blocks never spanning a docId
     * segment — into compressed posting blocks. Position strips arrive
@@ -205,7 +241,33 @@ object IndexBuilder {
       blockSize: Int, docsPerSegment: Long)
       : org.apache.spark.sql.Dataset[PosPostingBlock] = {
     import rows.sparkSession.implicits._
+    rows.mapPartitions(it => blockIterator(it, blockSize, docsPerSegment))
+  }
+
+  /** Slim-exchange twin of [[encodeBlocks]]: rows carry only
+    * (termId, docId, packedPositions). tf is re-derived per row as the
+    * strip's varint count (one varint per position by construction —
+    * [[BlockCodec.packPositions]]) and dl comes from the broadcast
+    * [[DlTable]], so the repartition+sort that dominates build DRAM traffic
+    * moves two fewer 8-byte slots per (doc, term) row. Produces
+    * byte-identical blocks to [[encodeBlocks]] over the same input.
+    */
+  def encodeBlocksSlim(
+      rows: org.apache.spark.sql.Dataset[(Long, Long, Array[Byte])],
+      dlt: org.apache.spark.broadcast.Broadcast[DlTable],
+      blockSize: Int, docsPerSegment: Long)
+      : org.apache.spark.sql.Dataset[PosPostingBlock] = {
+    import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
+      val dl = dlt.value
+      blockIterator(it.map { case (termId, docId, posv) =>
+        (termId, docId, BlockCodec.countVarints(posv), dl(docId), posv)
+      }, blockSize, docsPerSegment)
+    }
+  }
+
+  private def blockIterator(it: Iterator[(Long, Long, Int, Int, Array[Byte])],
+      blockSize: Int, docsPerSegment: Long): Iterator[PosPostingBlock] = {
       new Iterator[PosPostingBlock] {
         private var pending: PosPostingBlock = _
         private val bufDoc = new Array[Long](blockSize)
@@ -265,6 +327,5 @@ object IndexBuilder {
           val b = pending; pending = null; b
         }
       }
-    }
   }
 }
