@@ -240,6 +240,11 @@ object Bench {
     // a 2000-row scan, ~5 s of which was warmup)
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // the shared EntryQueries index is a one-time cost every index-mode
+    // query amortizes; built HERE so it is its own metric below instead of
+    // inflating whichever index query runs first alphabetically
+    val sharedIdxSec = graft.app.EntryQueries.prebuildSharedIndex(spark, sfDir)
+
     // a broken query must surface as an error, never as a fast "-1s" timing
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -252,7 +257,8 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val engine = engineBench(spark,
-      sys.env.getOrElse("GRAFT_BENCH_DOCS", "50000").toLong, cpus.toInt).metrics
+      sys.env.getOrElse("GRAFT_BENCH_DOCS", "50000").toLong, cpus.toInt).metrics +
+      ("shared_index_build_sec" -> sharedIdxSec)
 
     def jstr(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
@@ -285,7 +291,7 @@ object Bench {
       f""""steal_ticks_per_sec":$stealRate%.1f,""" +
       f""""membw_gbps_pre":$membw0%.1f,"membw_gbps_post":$membw1%.1f,""" +
       s""""bench_docs":${sys.env.getOrElse("GRAFT_BENCH_DOCS", "50000")}}"""
-    val total = results.map(_._2).sum + engine("index_build_sec")
+    val total = results.map(_._2).sum + engine("index_build_sec") + sharedIdxSec
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"engine":$eng,"errors":$errs,"env":$env,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -55,6 +55,18 @@ object EntryQueries {
       new graft.query.QueryEngine(s, root)
     })
 
+  /** Force the shared index build for `dir` NOW and report its cost in
+    * seconds (0.0 when already cached). Bench calls this before its timed
+    * per-query loop so the one-time build is its own metric instead of
+    * landing on whichever index-mode query happens to run first — round 4's
+    * `conj_not_topk` read as a 30x outlier for exactly this reason.
+    */
+  def prebuildSharedIndex(s: SparkSession, dir: String): Double = {
+    val t0 = System.nanoTime()
+    indexEngine(s, dir)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** (rnk, doc_id) relation of an index-path search result: docIds resolve
     * back to doc_id through the engine's own docs table (url round-trip).
     */
@@ -115,6 +127,23 @@ object EntryQueries {
           lit(0L), (acc, v) => acc + v) * 10000L / size($"sig_a"))
           .cast("long").as("est_bps"))
       .filter($"est_bps" >= thresholdBps)
+  }
+
+  /** Deterministic clustered training sample for the trained-IVF oracle row:
+    * `perCell` members around each of the 16 normalized ±1 sign-matrix
+    * directions, each offset by a second deterministic ±1 pattern. Pure
+    * arithmetic, no SparkSession — so the oracle-SQL generator reruns the
+    * identical Lloyd training and embeds the identical trained matrix.
+    */
+  private def trainedIvfSample(nCells: Int = 16, dim: Int = 64,
+      perCell: Int = 8): Array[Array[Float]] = {
+    val centers = graft.ops.SignMatrix(nCells, dim, 7L)
+    val noise = graft.ops.SignMatrix(nCells * perCell, dim, 99L)
+    Array.tabulate(nCells * perCell) { r =>
+      val c = centers(r % nCells)
+      val e = noise(r)
+      Array.tabulate(dim)(i => (c(i) + 0.3 * e(i)).toFloat)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -484,6 +513,29 @@ object EntryQueries {
         (i + 1, r.getLong(0))
       }).toDF("rnk", "vec_id")
     }),
+    "ann_ivf_trained_topk" -> ((s, dir) => {
+      import s.implicits._
+      // Trained-IVF: spherical-k-means centroids (pure driver-side Lloyd
+      // over the deterministic clustered sample — AnnOps.lloydSpherical,
+      // the exact arithmetic trainIvfCentroids applies after sampling a
+      // table) drive cell assignment, probe selection and in-cell
+      // rescoring through the same codegen'd kernel as ann_ivf_topk. The
+      // oracle runs the SAME pure training at SQL-generation time and
+      // embeds the trained matrix as literals (the ivfDotsSql trick), so
+      // this row gates training determinism AND the distributed
+      // application of a trained matrix bit-exactly; recall quality is
+      // gated in AnnRecallSpec.
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 0).head()
+        .getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val cents = AnnOps.lloydSpherical(trainedIvfSample(), nCells = 16,
+        dim = 64)
+      val top = AnnOps.ivfTopKWith(emb, "vec_id", "embedding", qv, 10,
+        cents, nProbe = 4).collect()
+      s.createDataFrame(top.toSeq.zipWithIndex.map { case (r, i) =>
+        (i + 1, r.getLong(0))
+      }).toDF("rnk", "vec_id")
+    }),
     "ann_lsh_neardup" -> ((s, dir) => {
       import s.implicits._
       // planes are deterministic (SplitMix64 from the seed), so the DuckDB
@@ -537,6 +589,24 @@ object EntryQueries {
         _.searchConjunctive("spark window the", 15, exclude = "merge"))),
     "regex_topk" -> ((s, dir) =>
       indexTopK(s, dir)(_.searchRegex("^[a-z]{3}$", 15))),
+    "krep_contains_indexed" -> ((s, dir) => {
+      import s.implicits._
+      // The automatic krep_contains → index rewrite (SURVEY.md §4): the SQL
+      // user writes the filter, the optimizer serves it from the inverted
+      // index as a recheck-retaining semi join. The plan assert makes this
+      // row EVIDENCE: a silent fall-back to the full scan would still return
+      // the right rows, so the row must fail loudly instead.
+      val engine = indexEngine(s, dir)
+      graft.query.IndexFilterRewrite.register(s, engine.root)
+      val filtered = engine.corpusDf.filter(K.krep_contains($"text", "merge"))
+      val fired = filtered.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }.nonEmpty
+      require(fired, "krep_contains_indexed: index filter rewrite did not fire")
+      filtered.select(expr("substring(url, 4)").cast("long").as("doc_id"))
+        .orderBy($"doc_id")
+    }),
 
     // ---- multimodal plumbing ----------------------------------------------
     "multimodal_features" -> ((s, dir) => {
@@ -664,15 +734,21 @@ object EntryQueries {
     // dots of `colRef` against the 16 deterministic ±1 IVF centroids (seed 7,
     // dim 64) as a SQL list literal expression — same double fold order as
     // IvfCentroids.cell, so argmax (first max wins) agrees bit-exactly
-    def ivfDotsSql(colRef: String): String = {
-      val cents = new graft.ops.IvfCentroids(16, 64, 7L).centroids
+    def dotsSqlFor(cents: Array[Array[Double]], colRef: String): String =
       cents.map { c =>
-        val lits = c.map(v => if (v > 0) "1.0" else "-1.0")
-          .mkString("[", ",", "]")
-        s"list_reduce(list_transform(range(1, 65), " +
+        // Double.toString round-trips (shortest decimal that reparses to
+        // the same double), so DuckDB's literal IS the trained value
+        val lits = c.map(java.lang.Double.toString).mkString("[", ",", "]")
+        s"list_reduce(list_transform(range(1, ${c.length + 1}), " +
           s"i -> CAST($colRef[i] AS DOUBLE) * ($lits)[i]), (x, y) -> x + y)"
       }.mkString("[", ", ", "]")
-    }
+    def ivfDotsSql(colRef: String): String =
+      dotsSqlFor(new graft.ops.IvfCentroids(16, 64, 7L).centroids, colRef)
+    // identical pure Lloyd run as the Spark-side row — the literals below
+    // ARE the trained centroids iff training is deterministic
+    lazy val trainedCents = graft.ops.AnnOps
+      .lloydSpherical(trainedIvfSample(), nCells = 16, dim = 64).centroids
+    def trainedDotsSql(colRef: String): String = dotsSqlFor(trainedCents, colRef)
     Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
@@ -894,6 +970,21 @@ object EntryQueries {
            |  list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC,
            |  vec_id) AS INTEGER) AS rnk, vec_id
            |FROM cand ORDER BY rnk LIMIT 10""".stripMargin,
+      "ann_ivf_trained_topk" ->
+        s"""WITH c AS (SELECT vec_id,
+           |  (array_position(${trainedDotsSql("embedding")},
+           |    list_aggregate(${trainedDotsSql("embedding")}, 'max')) - 1) AS cell
+           |  FROM embeddings),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |pd AS (SELECT unnest(range(1, 17)) AS ci,
+           |  unnest(${trainedDotsSql("qe")}) AS d FROM q),
+           |probe AS (SELECT ci - 1 AS cell FROM pd ORDER BY d DESC, ci LIMIT 4),
+           |cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+           |  JOIN c USING (vec_id) JOIN probe ON c.cell = probe.cell)
+           |SELECT CAST(row_number() OVER (ORDER BY
+           |  list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC,
+           |  vec_id) AS INTEGER) AS rnk, vec_id
+           |FROM cand ORDER BY rnk LIMIT 10""".stripMargin,
       "ann_cosine_topk" ->
         """SELECT CAST(row_number() OVER (ORDER BY
           |  list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id=0)) DESC,
@@ -942,6 +1033,10 @@ object EntryQueries {
           |  AND doc_id NOT IN
           |    (SELECT DISTINCT doc_id FROM toksrc WHERE term = 'merge')),""".stripMargin,
         " WHERE tf.doc_id IN (SELECT doc_id FROM cand)", 15),
+      // the rewrite is plan-side only: the oracle is the plain filter the
+      // user wrote (the semi join may only prune, never change the answer)
+      "krep_contains_indexed" ->
+        "SELECT doc_id FROM documents WHERE contains(text, 'merge') ORDER BY doc_id",
       // dict terms CONTAINING any pattern (krep substring semantics), capped
       // at 1024 by df DESC (krep.c:3571), ranked as a disjunction
       "multi_pattern_topk" -> bm25IndexSql(

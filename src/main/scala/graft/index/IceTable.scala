@@ -35,6 +35,19 @@ final case class StepInfo(
   *
   * Uses the Hadoop FileSystem API throughout, so the same code runs on local
   * fs here and HDFS/S3A on a real cluster.
+  *
+  * SCALE LIMIT, stated: each snapshot is ONE JSON document listing every
+  * data file of every table. At 100 TB a postings table is O(10^5-10^6)
+  * files, so the snapshot becomes hundreds of MB that every commit rewrites
+  * and every reader parses — the manifest itself turns into big data. Real
+  * Iceberg shards this (manifest files grouped by a manifest list, commits
+  * rewrite only touched manifests); the upgrade path here is mechanical
+  * because all readers go through `completedSteps`: store per-table file
+  * lists in side files referenced by hash from the snapshot, and only the
+  * touched table's side file is rewritten per commit. Deliberately NOT done
+  * now — at the tested scales the single document is simpler to make
+  * atomic, and the concurrency suite (crash/race/CAS) pins semantics the
+  * sharded layout must preserve.
   */
 final class IceTable(val root: String, conf: Configuration) {
 

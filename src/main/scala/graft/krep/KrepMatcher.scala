@@ -150,7 +150,9 @@ final class KrepMatcher(val params: KrepParams) extends Serializable {
         var exhausted = false
         while (go && from < str.length && { exhausted = !m.find(from); !exhausted }) {
           // byte offsets == char offsets only for ASCII; regex path reports
-          // CHAR offsets (documented; literal path reports byte offsets)
+          // CHAR offsets (literal path reports byte offsets; the reference
+          // is byte-offset everywhere, krep.h:49-53 — divergence pinned by
+          // KrepMatcherSpec "literal path reports BYTE offsets...")
           go = onMatch(m.start, m.end, 0)
           // zero-length match must advance by one (reference krep.c:1543-1549)
           from = if (m.end == m.start) m.end + 1

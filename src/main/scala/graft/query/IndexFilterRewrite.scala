@@ -1,0 +1,200 @@
+package graft.query
+
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Contains, EqualTo, Expression, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, explode}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.index.{BlockDocIds, IceTable, StepInfo}
+import graft.krep.{AsciiFold, KrepContains, KrepParams}
+
+/** Automatic `krep_contains(text, 'lit')` → inverted-index lookup rewrite —
+  * the plan-level analog of the reference's kernel selector: the user writes
+  * the filter, the engine picks the physical strategy (krep.c:1771-1870, the
+  * user never chooses the kernel; SURVEY.md §4's one custom
+  * `Rule[LogicalPlan]`).
+  *
+  * A SQL/DataFrame filter `krep_contains(text, p)` (or the native `Contains`
+  * that [[graft.krep.SimplifyKrepContains]] lowers it to) over a REGISTERED
+  * indexed corpus becomes
+  * {{{
+  *   Filter(cond, corpus LEFT SEMI JOIN candidateDocIds ON docId)
+  * }}}
+  * where candidateDocIds = postings ⨝ (dict terms CONTAINING the folded
+  * pattern) exploded to docIds. The original predicate is RETAINED above the
+  * semi join (recheck discipline, same as the phrase path): the index prunes,
+  * the predicate decides — so the rewrite can never change an answer, only
+  * the plan.
+  *
+  * Soundness gate (when is the candidate set a superset of the matches): the
+  * pattern must be non-empty and consist solely of word bytes
+  * ([[AsciiFold.isWordByte]] — the tokenizer's own alphabet), so every
+  * occurrence in any text lies inside one maximal word-byte run = one token,
+  * and the folded token — a dict term of the doc — contains the folded
+  * pattern. Holds for case-sensitive, case-insensitive and whole-word
+  * matching (the recheck restores the exact semantics); multi-pattern OR
+  * qualifies when every pattern does (candidates = union via the same
+  * multi-pattern dict scan). Regex, patterns with non-word bytes (spanning
+  * token boundaries), and explicit `algo` kernel overrides stand down — the
+  * `--algo` contract is that the forced kernel executes
+  * ([[graft.krep.SimplifyKrepContains]] precedent, krep.c:1786-1795).
+  *
+  * Scale shape: the dict scan is one columnar pass over terms (the relation
+  * that is ~5 orders smaller than the corpus); postings prune to matching
+  * termIds via the broadcastable dict side; the semi join's build side is
+  * distinct docIds, sized by the pattern's true selectivity, and AQE picks
+  * broadcast-semi vs shuffle at runtime. An unselective pattern degrades to
+  * roughly the scan the filter would have been anyway; a selective one skips
+  * reading every non-candidate doc's text.
+  */
+object IndexFilterRewrite {
+
+  private final case class Entry(root: String,
+      snapshot: scala.collection.Map[String, StepInfo],
+      corpusFiles: Set[String])
+
+  /** Registered corpora, keyed by index root. */
+  private val entries = new ConcurrentHashMap[String, Entry]
+
+  /** Register the index at `root` (pinned to its CURRENT snapshot — the
+    * engine-pinning discipline) and install the rule on the session. Filters
+    * over that snapshot's corpus files are rewritten from then on.
+    */
+  def register(spark: SparkSession, root: String): Unit = {
+    install(spark)
+    val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
+    val snap = ice.completedSteps
+    val cs = snap("corpus")
+    val files = cs.files.map { case (f, _) => normalize(s"${cs.table}/$f") }.toSet
+    entries.put(root, Entry(root, snap, files))
+  }
+
+  def deregister(root: String): Unit = entries.remove(root)
+
+  /** Install the optimizer rule on an already-running session (idempotent —
+    * same mechanism as [[graft.krep.KrepExtensions.install]]).
+    */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(Rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ Rule
+
+  private def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Non-empty and all word bytes — the token-boundary soundness gate. */
+  private def indexablePattern(p: String): Boolean = {
+    val b = p.getBytes(StandardCharsets.UTF_8)
+    b.nonEmpty && b.forall(AsciiFold.isWordByte)
+  }
+
+  private def foldAscii(p: String): String =
+    new String(p.getBytes(StandardCharsets.UTF_8).map(AsciiFold.fold),
+      StandardCharsets.UTF_8)
+
+  object Rule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+      with PredicateHelper {
+
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      if (entries.isEmpty) return plan
+      plan.transformUp {
+        case f @ Filter(cond, child) =>
+          rewrite(f, cond, child).getOrElse(f)
+      }
+    }
+
+    private def rewrite(f: Filter, cond: Expression,
+        child: LogicalPlan): Option[Filter] =
+      for {
+        rel <- leafRelation(child)
+        entry <- findEntry(rel)
+        docId <- child.output.find(_.name == "docId")
+        patterns <- splitConjunctivePredicates(cond)
+          .flatMap(qualifying(_, child)).headOption
+      } yield {
+        val cand = candidatePlan(SparkSession.active, entry, patterns)
+        Filter(cond, Join(child, cand, LeftSemi,
+          Some(EqualTo(docId, cand.output.head)), JoinHint.NONE))
+      }
+
+    /** The filter's input must be the registered corpus relation itself (or
+      * a pure-attribute projection of it). Anything else — including the
+      * Join a previous firing spliced in — stands down, which is also what
+      * makes the rule a fixpoint.
+      */
+    private def leafRelation(child: LogicalPlan): Option[LogicalRelation] =
+      child match {
+        case lr: LogicalRelation => Some(lr)
+        case Project(projList, lr: LogicalRelation)
+            if projList.forall(_.isInstanceOf[AttributeReference]) => Some(lr)
+        case _ => None
+      }
+
+    private def findEntry(rel: LogicalRelation): Option[Entry] = {
+      val files = rel.relation match {
+        case fs: HadoopFsRelation => fs.location.inputFiles.toSeq
+        case _ => Seq.empty
+      }
+      val norm = files.map(normalize)
+      if (norm.isEmpty) None
+      else entries.values.asScala.find(e => norm.forall(e.corpusFiles.contains))
+    }
+
+    /** A conjunct the index can serve: literal containment over THE indexed
+      * text column, no regex, no kernel override, patterns inside the token
+      * alphabet.
+      */
+    private def qualifying(e: Expression,
+        child: LogicalPlan): Option[Seq[String]] = e match {
+      case KrepContains(a: AttributeReference, p)
+          if isTextAttr(a, child) && !p.regex && p.algo == "auto" &&
+            p.maxCount > 0 && p.patterns.forall(indexablePattern) =>
+        Some(p.patterns)
+      case Contains(a: AttributeReference, Literal(s: UTF8String, StringType))
+          if isTextAttr(a, child) && indexablePattern(s.toString) =>
+        Some(Seq(s.toString))
+      case _ => None
+    }
+
+    private def isTextAttr(a: AttributeReference, child: LogicalPlan): Boolean =
+      a.name == "text" && child.outputSet.contains(a)
+
+    /** Candidate docIds as an analyzed+optimized subplan, built fresh per
+      * firing (fresh exprIds, so two rewrites in one query never collide):
+      * dict terms containing any folded pattern → their posting blocks →
+      * exploded, distinct docIds. Fully declarative — the rule runs no jobs;
+      * dict terms are folded so one case-SENSITIVE containment scan serves
+      * both original case modes, and wholeWord is dropped (a mid-token
+      * occurrence still names candidate terms; the retained predicate
+      * enforces boundaries).
+      */
+    private def candidatePlan(spark: SparkSession, e: Entry,
+        patterns: Seq[String]): LogicalPlan = {
+      val ice = new IceTable(e.root, spark.sparkContext.hadoopConfiguration)
+      val folded = patterns.map(foldAscii).distinct
+      val dict = ice.readSteps(spark, e.snapshot, "dict")
+        .filter(graft.krep.functions.krep_contains(col("term"),
+          KrepParams(folded)))
+        .select(col("termId"))
+      val docIds = GraftSqlBridge.column(BlockDocIds(
+        GraftSqlBridge.expression(col("docs")),
+        GraftSqlBridge.expression(col("n"))))
+      ice.readSteps(spark, e.snapshot, "postings")
+        .select(col("termId"), col("docs"), col("n"))
+        .join(dict, "termId")
+        .select(explode(docIds).as("__graft_cand_docid"))
+        .distinct()
+        .queryExecution.optimizedPlan
+    }
+  }
+}

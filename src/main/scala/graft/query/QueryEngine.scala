@@ -23,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *  4. global top-k merge: k rows per segment → `ORDER BY score DESC, docId
   *     ASC LIMIT k` (tiny), then a broadcast join against docs for urls.
   */
-final class QueryEngine(spark: SparkSession, root: String,
+final class QueryEngine(spark: SparkSession, val root: String,
     localPostingsThreshold: Long = 5000000L,
     driverCacheBlocksThreshold: Long = 4000000L,
     driverCorpusDocsThreshold: Long = 400000L,
@@ -575,6 +575,12 @@ final class QueryEngine(spark: SparkSession, root: String,
     * docIds back to their source keys without re-reading an unpinned table.
     */
   def docsDf: DataFrame = readPinned("docs")
+
+  /** The pinned corpus relation (docId, url, dl, text) — the scan relation
+    * [[IndexFilterRewrite]] accelerates when this engine's root is
+    * registered.
+    */
+  def corpusDf: DataFrame = readPinned("corpus")
 
   /** Top-k with urls resolved — the user-facing result relation. */
   def searchDf(query: String, k: Int): DataFrame = {

@@ -239,6 +239,25 @@ class KrepMatcherSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))) ==
       Seq((1, 4, 1), (2, 4, 0), (2, 6, 3)))
   }
+  test("literal path reports BYTE offsets, regex path CHAR offsets on multi-byte text") {
+    // 'é' is 2 UTF-8 bytes: the literal scan sees 'x' at byte [4,5) while
+    // the regex path (Java String machinery) sees char [2,3). The synthetic
+    // corpus is ASCII, where the two coincide; this pins the DOCUMENTED
+    // divergence (KrepMatcher regex loop; the reference is byte-offset
+    // everywhere, krep.h:49-53) so any future unification is a deliberate,
+    // test-visible change rather than silent drift.
+    val text = UTF8String.fromString("ééx")
+    val lit = new KrepMatcher(KrepParams(Seq("x"))).positions(text)
+    assert(lit.numElements() == 1)
+    val lr = lit.getStruct(0, 3)
+    assert((lr.getInt(0), lr.getInt(1)) == (4, 5), "literal = byte offsets")
+    val re = new KrepMatcher(KrepParams(Seq("x"), regex = true,
+      overlapping = false)).positions(text)
+    assert(re.numElements() == 1)
+    val rr = re.getStruct(0, 3)
+    assert((rr.getInt(0), rr.getInt(1)) == (2, 3), "regex = char offsets")
+  }
+
   test("extract -o: newline inside match becomes space") {
     val m = new KrepMatcher(KrepParams(Seq("b\nc")))
     val e = m.extract(UTF8String.fromString("a b\nc d"))

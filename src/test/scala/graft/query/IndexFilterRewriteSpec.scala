@@ -1,0 +1,124 @@
+package graft.query
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.corpus.SynthWebText
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.krep.{KrepParams, functions => K}
+
+/** The automatic `krep_contains → index lookup` rewrite (SURVEY.md §4's one
+  * custom Rule[LogicalPlan]): fires as a recheck-retaining semi join on a
+  * registered corpus, stands down for kernel overrides / regex / non-token
+  * patterns / unregistered relations, and NEVER changes an answer — every
+  * fired case is differentially checked against the unrewritten scan.
+  */
+class IndexFilterRewriteSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val nDocs = 1500L
+  private lazy val pages = SynthWebText.pages(spark, nDocs, numPartitions = 4).cache()
+
+  private lazy val indexRoot: String = {
+    val dir = Files.createTempDirectory("graft-ifr-").toString
+    new IndexBuilder(spark, dir,
+      IndexConfig(blockSize = 64, docsPerSegment = 512, partitions = 4))
+      .build(pages)
+    dir
+  }
+  private def engine = new QueryEngine(spark, indexRoot)
+  private def t(r: Int) = SynthWebText.term(r)
+
+  private def fired(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }.nonEmpty
+
+  /** Collect docIds of `pred` over the corpus twice: once with the root
+    * deregistered (plain scan — the ground truth), once registered (must
+    * fire); assert identical.
+    */
+  private def differential(name: String,
+      pred: DataFrame => DataFrame): Unit = {
+    IndexFilterRewrite.deregister(indexRoot)
+    val want = pred(engine.corpusDf).select("docId")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    try {
+      IndexFilterRewrite.register(spark, indexRoot)
+      val df = pred(engine.corpusDf)
+      assert(fired(df), s"$name: rewrite did not fire")
+      val got = df.select("docId").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want,
+        s"$name: rewritten result diverges (${got.length} vs ${want.length} rows)")
+    } finally IndexFilterRewrite.deregister(indexRoot)
+  }
+
+  test("default krep_contains fires and matches the scan (hot + cold + absent)") {
+    differential("hot substring",
+      _.filter(K.krep_contains(org.apache.spark.sql.functions.col("text"), "ver")))
+    differential("planted marker",
+      _.filter(K.krep_contains(org.apache.spark.sql.functions.col("text"),
+        "plantedmarker0")))
+    // absent from every dict term: candidate set is empty, result must be too
+    differential("absent pattern",
+      _.filter(K.krep_contains(org.apache.spark.sql.functions.col("text"),
+        "zzzqqqxxxnotaword")))
+  }
+
+  test("native Contains form (SimplifyKrepContains output) fires too") {
+    differential("native contains",
+      df => df.filter(df("text").contains(t(7))))
+  }
+
+  test("case-insensitive, case-sensitive-capitalized and whole-word recheck") {
+    val cap = t(5).capitalize // sentence-capitalized occurrences exist
+    differential("cs capitalized",
+      _.filter(K.krep_contains(org.apache.spark.sql.functions.col("text"),
+        KrepParams(Seq(cap)))))
+    differential("ci capitalized",
+      _.filter(K.krep_contains(org.apache.spark.sql.functions.col("text"),
+        KrepParams(Seq(cap), caseSensitive = false))))
+    differential("whole word",
+      _.filter(K.krep_contains(org.apache.spark.sql.functions.col("text"),
+        KrepParams(Seq(t(3)), wholeWord = true))))
+  }
+
+  test("multi-pattern OR fires when every pattern is token-internal") {
+    differential("multi-pattern",
+      _.filter(K.krep_contains(org.apache.spark.sql.functions.col("text"),
+        KrepParams(Seq("plantedmarker0", "graftphrase1")))))
+  }
+
+  test("stand-down: algo override, regex, non-token pattern, unregistered relation") {
+    import org.apache.spark.sql.functions.col
+    IndexFilterRewrite.register(spark, indexRoot)
+    try {
+      // forced kernel: the --algo contract pins the scan kernel
+      assert(!fired(engine.corpusDf.filter(
+        K.krep_contains(col("text"), KrepParams(Seq("ver"), algo = "ac")))))
+      // regex containment cannot be served by substring term expansion
+      assert(!fired(engine.corpusDf.filter(
+        K.krep_contains(col("text"),
+          KrepParams(Seq("ver[0-9]+"), regex = true, overlapping = false)))))
+      // a space crosses token boundaries — no single dict term can witness it
+      assert(!fired(engine.corpusDf.filter(
+        K.krep_contains(col("text"), s"${t(0)} ${t(1)}"))))
+      // same filter over a NON-registered parquet relation of the same shape
+      val outside = Files.createTempDirectory("graft-ifr-out-").toString
+      engine.corpusDf.write.mode("overwrite").parquet(outside)
+      assert(!fired(spark.read.parquet(outside)
+        .filter(K.krep_contains(col("text"), "ver"))))
+    } finally IndexFilterRewrite.deregister(indexRoot)
+  }
+
+  test("rewrite survives projection above the filter and extra conjuncts") {
+    import org.apache.spark.sql.functions.col
+    differential("projection + conjunct",
+      _.filter(K.krep_contains(col("text"), t(9)) && col("docId") % 2 === 0))
+  }
+}
