@@ -15,8 +15,8 @@ probe() { taskset -c $((FOURN + 1)) sbt -batch "runMain graft.bench.QuietProbe" 
 echo "=== pair start $(date -u +%FT%TZ) nDocs=$NDOCS N=$N ===" >> "$OUT"
 P=$(probe); echo "$P" >> "$OUT"
 echo "$P" | grep -q '"quiet":true' || { echo "window not quiet — aborting" >> "$OUT"; exit 1; }
-taskset -c 0-$((FOURN - 1)) sbt -batch "runMain graft.bench.LevelBench $NDOCS $FOURN" 2>&1 | grep '"level"' >> "$OUT"
+taskset -c 0-$((FOURN - 1)) sbt -batch "runMain graft.bench.LevelBench $NDOCS $FOURN ${WARM:-1}" 2>&1 | grep '"level"' >> "$OUT"
 probe >> "$OUT"
-taskset -c 0-$((N - 1)) sbt -batch "runMain graft.bench.LevelBench $NDOCS $N" 2>&1 | grep '"level"' >> "$OUT"
+taskset -c 0-$((N - 1)) sbt -batch "runMain graft.bench.LevelBench $NDOCS $N ${WARM:-1}" 2>&1 | grep '"level"' >> "$OUT"
 probe >> "$OUT"
 echo "=== pair done $(date -u +%FT%TZ) ===" >> "$OUT"

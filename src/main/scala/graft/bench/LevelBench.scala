@@ -20,6 +20,16 @@ object LevelBench {
   def main(args: Array[String]): Unit = {
     val nDocs = args.lift(0).map(_.toLong).getOrElse(300000L)
     val cpus = args.lift(1).map(_.toInt).getOrElse(32)
+    // warm full-scale passes before the timed one (0 = the rounds-2..4
+    // cold-JVM protocol). A cold JVM's first full-scale build pays JIT at
+    // scale + heap growth — measured on this box at ~40% of an 8-core
+    // build's wall (cold 97-120 s vs 50-70 s warmed in one JVM, identical
+    // code and window). That one-time cost is a CONSTANT that hits both
+    // levels of a pair, so it biases the efficiency ratio toward the
+    // constant's share of wall — and at the criterion's real scale (10^12
+    // docs) it is zero. warm=1 reports the steady-state leg, the same
+    // discipline the query windows (and ExchangeAb) have always used.
+    val warmBuilds = args.lift(2).map(_.toInt).getOrElse(0)
 
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -44,6 +54,11 @@ object LevelBench {
     // JIT/classloader warmup + page-cache warm of the input
     Bench.engineBench(spark, 2000L, cpus, repeats = 1)
     spark.read.parquet(pagesPath).selectExpr("sum(octet_length(html))").collect()
+    // untimed full-scale warm pass(es); the timed leg below then measures
+    // steady state (each pass builds into its own fresh temp root)
+    (1 to warmBuilds).foreach { _ =>
+      Bench.engineBench(spark, nDocs, cpus, repeats = 1, pagesPath = pagesPath)
+    }
 
     // host weather bracketing the timed window (same probes as Bench.main):
     // a level run whose numbers disagree with its pair partner should carry
@@ -64,7 +79,7 @@ object LevelBench {
     val membw1 = Bench.membwGbps()
     val m = r.metrics.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString(",")
-    println(s"""{"level":$cpus,"nDocs":$nDocs,$m,""" +
+    println(s"""{"level":$cpus,"nDocs":$nDocs,"warm_builds":$warmBuilds,$m,""" +
       f""""steal_ticks_per_sec":$stealRate%.1f,""" +
       f""""membw_gbps_pre":$membw0%.1f,"membw_gbps_post":$membw1%.1f,""" +
       s""""checksum":"${r.resultsChecksum}"}""")
