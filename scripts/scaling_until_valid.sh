@@ -21,7 +21,7 @@ steal_rate() { # steal ticks/s over 8 s, integer
 }
 
 valid_pairs() {
-  python3 /tmp/analyze_pairs.py "$OUT" 2>/dev/null | grep -c ' VALID$'
+  python3 scripts/analyze_pairs.py "$OUT" 2>/dev/null | grep -c ' VALID$'
 }
 
 while [ "$(date +%s)" -lt "$END" ]; do
