@@ -249,6 +249,9 @@ object Bench {
     // query amortizes; built HERE so it is its own metric below instead of
     // inflating whichever index query runs first alphabetically
     val sharedIdxSec = graft.app.EntryQueries.prebuildSharedIndex(spark, sfDir)
+    // same treatment for the lifecycle (append+append+compact) index behind
+    // compaction_topk / timetravel_topk
+    val lifecycleIdxSec = graft.app.EntryQueries.prebuildLifecycleIndex(spark, sfDir)
 
     // a broken query must surface as an error, never as a fast "-1s" timing
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -263,7 +266,8 @@ object Bench {
     }
     val engine = engineBench(spark,
       sys.env.getOrElse("GRAFT_BENCH_DOCS", "50000").toLong, cpus.toInt).metrics +
-      ("shared_index_build_sec" -> sharedIdxSec)
+      ("shared_index_build_sec" -> sharedIdxSec) +
+      ("lifecycle_index_build_sec" -> lifecycleIdxSec)
 
     def jstr(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
@@ -296,7 +300,8 @@ object Bench {
       f""""steal_ticks_per_sec":$stealRate%.1f,""" +
       f""""membw_gbps_pre":$membw0%.1f,"membw_gbps_post":$membw1%.1f,""" +
       s""""bench_docs":${sys.env.getOrElse("GRAFT_BENCH_DOCS", "50000")}}"""
-    val total = results.map(_._2).sum + engine("index_build_sec") + sharedIdxSec
+    val total = results.map(_._2).sum + engine("index_build_sec") +
+      sharedIdxSec + lifecycleIdxSec
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"engine":$eng,"errors":$errs,"env":$env,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -67,13 +67,73 @@ object EntryQueries {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Lifecycle index per (session, dir): the documents table lands in TWO
+    * streaming appends split at max(doc_id)/2, then one full compaction.
+    * `_1` is the head engine (post-compaction snapshot); `_2` is pinned to
+    * the FIRST append's snapshot — read after two further commits exist,
+    * which is the time-travel claim under test (snapshot isolation through
+    * an append AND a compaction rewrite; vacuum never runs here, so the old
+    * snapshot's files are all still present). The batches split by doc_id
+    * RANGE, not hash: append docIds continue the dense url-ranked sequence
+    * (StreamingIndexer.appendBatch), so range-ordered batches keep internal
+    * docId order == doc_id order and equal-score ties break identically in
+    * the engine and in the SQL oracle's `ORDER BY score DESC, doc_id`.
+    */
+  private val lifecycleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (graft.query.QueryEngine, graft.query.QueryEngine)]
+  private def lifecycleEngines(s: SparkSession, dir: String)
+      : (graft.query.QueryEngine, graft.query.QueryEngine) =
+    lifecycleCache.computeIfAbsent((s, dir), _ => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val cut = docs.agg(max($"doc_id")).head.getLong(0) / 2
+      def pages(d: DataFrame) = d.select(
+        format_string("doc%08d", $"doc_id").as("url"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("warc_ts"),
+        encode($"text", "UTF-8").as("html"),
+        $"text", $"lang").as[graft.corpus.Page]
+      val root = java.nio.file.Files.createTempDirectory("graft-entrylc-").toString
+      deleteRecursivelyOnExit(root)
+      val cfg = graft.index.IndexConfig(blockSize = 64, docsPerSegment = 512,
+        partitions = 8)
+      val indexer = new graft.streaming.StreamingIndexer(s, root, cfg)
+      indexer.appendBatch(pages(docs.filter($"doc_id" < cut)))
+      val firstSnap = indexer.ice.currentSnapshotId.get
+      indexer.appendBatch(pages(docs.filter($"doc_id" >= cut)))
+      val blocksBefore = indexer.ice.readTable(s, "postings").count()
+      new graft.index.IndexCompactor(s, root, cfg).compactPostings()
+      // evidence, not paranoia: terms straddling the two appends are
+      // fragmented across commits, so a compaction that actually rewrote
+      // must shrink the block count — a silent no-op would still answer
+      // correctly, so the row has to fail loudly instead
+      val blocksAfter = indexer.ice.readTable(s, "postings").count()
+      require(blocksAfter < blocksBefore,
+        s"lifecycle compaction was a no-op ($blocksBefore -> $blocksAfter blocks)")
+      (new graft.query.QueryEngine(s, root),
+        new graft.query.QueryEngine(s, root, snapshotId = Some(firstSnap)))
+    })
+
+  /** Force the lifecycle (append+append+compact) index build for `dir` NOW;
+    * returns its cost in seconds (0.0 when already cached). Same rationale
+    * as [[prebuildSharedIndex]]: Bench reports it as its own metric.
+    */
+  def prebuildLifecycleIndex(s: SparkSession, dir: String): Double = {
+    val t0 = System.nanoTime()
+    lifecycleEngines(s, dir)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** (rnk, doc_id) relation of an index-path search result: docIds resolve
     * back to doc_id through the engine's own docs table (url round-trip).
     */
   private def indexTopK(s: SparkSession, dir: String)(
+      run: graft.query.QueryEngine => Array[graft.query.ScoredDoc]): DataFrame =
+    topKOf(s, indexEngine(s, dir))(run)
+
+  private def topKOf(s: SparkSession, engine: graft.query.QueryEngine)(
       run: graft.query.QueryEngine => Array[graft.query.ScoredDoc]): DataFrame = {
     import s.implicits._
-    val engine = indexEngine(s, dir)
     val top = s.createDataFrame(
       run(engine).toSeq.zipWithIndex.map { case (sd, i) => (i + 1, sd.docId) })
       .toDF("rnk", "docId")
@@ -608,6 +668,20 @@ object EntryQueries {
         .orderBy($"doc_id")
     }),
 
+    // ---- index lifecycle (SURVEY.md §7: snapshots, appends, compaction) -----
+    // compaction_topk: the corpus lands in TWO streaming appends and the
+    // postings are then fully compacted; the oracle is the plain scan-path
+    // BM25 — append batching and the compaction rewrite must be
+    // answer-invisible (and a no-op compaction fails the row loudly)
+    "compaction_topk" -> ((s, dir) =>
+      topKOf(s, lifecycleEngines(s, dir)._1)(_.search("spark window the", 15))),
+    // timetravel_topk: the engine is pinned to the FIRST append's snapshot
+    // and reads it AFTER the second append and the compaction committed; the
+    // oracle sees only the first-half corpus — including its stats (N,
+    // avgdl, df), which a stats/postings snapshot mismatch would corrupt
+    "timetravel_topk" -> ((s, dir) =>
+      topKOf(s, lifecycleEngines(s, dir)._2)(_.search("spark window the", 10))),
+
     // ---- multimodal plumbing ----------------------------------------------
     "multimodal_features" -> ((s, dir) => {
       import s.implicits._
@@ -678,9 +752,9 @@ object EntryQueries {
     // the term set coming from `expSql` (mirroring dict-side expansion) and
     // an optional candidate restriction (mirroring the phrase recheck)
     def bm25IndexSql(expSql: String, extraCte: String, addendFilter: String,
-        k: Int): String =
+        k: Int, corpus: String = "documents"): String =
       s"""WITH toksrc AS (
-         |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9_]+')) AS term FROM documents
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9_]+')) AS term FROM $corpus
          |), dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toksrc GROUP BY doc_id),
          |stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
          |dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toksrc GROUP BY term),
@@ -1037,6 +1111,19 @@ object EntryQueries {
       // user wrote (the semi join may only prune, never change the answer)
       "krep_contains_indexed" ->
         "SELECT doc_id FROM documents WHERE contains(text, 'merge') ORDER BY doc_id",
+      // lifecycle rows: two streaming appends + a full compaction sit behind
+      // the Spark side; the oracles are plain scan-path BM25, so batching
+      // and the compaction rewrite must be answer-invisible
+      "compaction_topk" -> bm25IndexSql(
+        "SELECT unnest(['spark','the','window']) AS term", "", "", 15),
+      // time travel: the engine reads the FIRST append's snapshot after two
+      // further commits; the oracle's whole corpus — tokens AND the N /
+      // avgdl / df statistics — is the first half only (doc_id < max/2,
+      // the same integer cut the Spark side computes)
+      "timetravel_topk" -> bm25IndexSql(
+        "SELECT unnest(['spark','the','window']) AS term", "", "", 10,
+        "(SELECT * FROM documents WHERE doc_id < " +
+          "(SELECT max(doc_id)//2 FROM documents)) AS documents"),
       // dict terms CONTAINING any pattern (krep substring semantics), capped
       // at 1024 by df DESC (krep.c:3571), ranked as a disjunction
       "multi_pattern_topk" -> bm25IndexSql(
