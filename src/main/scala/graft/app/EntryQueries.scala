@@ -658,7 +658,10 @@ object EntryQueries {
       // the right rows, so the row must fail loudly instead.
       val engine = indexEngine(s, dir)
       graft.query.IndexFilterRewrite.register(s, engine.root)
-      val filtered = engine.corpusDf.filter(K.krep_contains($"text", "merge"))
+      // 'dup' hits ~5% of docs — selective enough that the default hot-term
+      // gate keeps the index path (an unselective pattern like 'merge', in
+      // ~80% of docs, would correctly stand down to the scan filter)
+      val filtered = engine.corpusDf.filter(K.krep_contains($"text", "dup"))
       val fired = filtered.queryExecution.optimizedPlan.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join
             if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
@@ -1110,7 +1113,7 @@ object EntryQueries {
       // the rewrite is plan-side only: the oracle is the plain filter the
       // user wrote (the semi join may only prune, never change the answer)
       "krep_contains_indexed" ->
-        "SELECT doc_id FROM documents WHERE contains(text, 'merge') ORDER BY doc_id",
+        "SELECT doc_id FROM documents WHERE contains(text, 'dup') ORDER BY doc_id",
       // lifecycle rows: two streaming appends + a full compaction sit behind
       // the Spark side; the oracles are plain scan-path BM25, so batching
       // and the compaction rewrite must be answer-invisible

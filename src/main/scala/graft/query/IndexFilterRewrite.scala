@@ -47,21 +47,26 @@ import graft.krep.{AsciiFold, KrepContains, KrepParams}
   * multi-pattern dict scan). Regex, patterns with non-word bytes (spanning
   * token boundaries), and explicit `algo` kernel overrides stand down — the
   * `--algo` contract is that the forced kernel executes
-  * ([[graft.krep.SimplifyKrepContains]] precedent, krep.c:1786-1795).
+  * ([[graft.krep.SimplifyKrepContains]] precedent, krep.c:1786-1795) — and
+  * so do UNSELECTIVE patterns (substring of a hot dict term collected at
+  * [[register]] time), for which the scan filter is the cheaper access path.
   *
   * Scale shape: the dict scan is one columnar pass over terms (the relation
   * that is ~5 orders smaller than the corpus); postings prune to matching
   * termIds via the broadcastable dict side; the semi join's build side is
   * distinct docIds, sized by the pattern's true selectivity, and AQE picks
-  * broadcast-semi vs shuffle at runtime. An unselective pattern degrades to
-  * roughly the scan the filter would have been anyway; a selective one skips
-  * reading every non-candidate doc's text.
+  * broadcast-semi vs shuffle at runtime. A selective pattern skips the
+  * per-row pattern work for every non-candidate doc; an unselective one is
+  * caught by the hot-term gate at plan time and keeps the plain scan filter
+  * (see [[register]]).
   */
 object IndexFilterRewrite {
 
   private final case class Entry(root: String,
       snapshot: scala.collection.Map[String, StepInfo],
-      corpusFiles: Set[String])
+      corpusFiles: Set[String],
+      docCount: Long,
+      hotTerms: Array[String])
 
   /** Registered corpora, keyed by index root. */
   private val entries = new ConcurrentHashMap[String, Entry]
@@ -69,14 +74,41 @@ object IndexFilterRewrite {
   /** Register the index at `root` (pinned to its CURRENT snapshot — the
     * engine-pinning discipline) and install the rule on the session. Filters
     * over that snapshot's corpus files are rewritten from then on.
+    *
+    * Selectivity gate (`maxCandidateFrac`): the rewrite is an access-path
+    * CHOICE, and for an unselective pattern it is the wrong one — when the
+    * candidate docId set approaches the corpus, the semi join's build side
+    * stops being broadcastable and the join degenerates into shuffling the
+    * full corpus to prune almost nothing, strictly worse at 10^12 docs than
+    * the codegen'd scan filter it replaced. Since candidates = postings of
+    * every dict term CONTAINING the pattern, any single hot term already
+    * lower-bounds the candidate count; registration therefore collects the
+    * terms with df > maxCandidateFrac·N (one columnar scan of the dict — the
+    * relation ~5 orders smaller than the corpus — at register time, never at
+    * plan time) and the rule stands down when a pattern is a substring of
+    * any of them. Driver footprint is bounded by `hotTermCap`; with the
+    * default frac, Σdf ≤ N·avgDistinctTerms caps the number of qualifying
+    * terms at ~8·avgDistinctTerms, far under the cap. The gate is a cost
+    * heuristic, not a soundness condition — both plans return identical
+    * rows — so `maxCandidateFrac = 1.0` disables it (no dict scan).
     */
-  def register(spark: SparkSession, root: String): Unit = {
+  def register(spark: SparkSession, root: String,
+      maxCandidateFrac: Double = 0.125, hotTermCap: Int = 4096): Unit = {
     install(spark)
     val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
     val snap = ice.completedSteps
     val cs = snap("corpus")
     val files = cs.files.map { case (f, _) => normalize(s"${cs.table}/$f") }.toSet
-    entries.put(root, Entry(root, snap, files))
+    val nDocs = snap("docs").rowCount
+    val minDf = math.max(1L, (nDocs * maxCandidateFrac).toLong)
+    val hot =
+      if (maxCandidateFrac >= 1.0) Array.empty[String]
+      else ice.readSteps(spark, snap, "dict")
+        .filter(col("df") > minDf)
+        .orderBy(col("df").desc, col("term"))
+        .limit(hotTermCap)
+        .select("term").collect().map(_.getString(0))
+    entries.put(root, Entry(root, snap, files, nDocs, hot))
   }
 
   def deregister(root: String): Unit = entries.remove(root)
@@ -119,10 +151,19 @@ object IndexFilterRewrite {
         rel <- leafRelation(child)
         entry <- findEntry(rel)
         docId <- child.output.find(_.name == "docId")
-        patterns <- splitConjunctivePredicates(cond)
-          .flatMap(qualifying(_, child)).headOption
+        // first conjunct that the index can serve AND that passes the
+        // selectivity gate: a pattern inside a hot term pulls that term's
+        // whole postings into the candidate set, so the scan filter is the
+        // better access path for it (see register's scaladoc) — but a later
+        // selective conjunct of the same filter still prunes for the whole
+        // conjunction (semi-join candidates are a superset of ITS matches,
+        // hence of the AND's)
+        folded <- splitConjunctivePredicates(cond)
+          .flatMap(qualifying(_, child))
+          .map(_.map(foldAscii).distinct)
+          .find(fs => !entry.hotTerms.exists(t => fs.exists(t.contains(_))))
       } yield {
-        val cand = candidatePlan(SparkSession.active, entry, patterns)
+        val cand = candidatePlan(SparkSession.active, entry, folded)
         Filter(cond, Join(child, cand, LeftSemi,
           Some(EqualTo(docId, cand.output.head)), JoinHint.NONE))
       }
@@ -179,9 +220,8 @@ object IndexFilterRewrite {
       * enforces boundaries).
       */
     private def candidatePlan(spark: SparkSession, e: Entry,
-        patterns: Seq[String]): LogicalPlan = {
+        folded: Seq[String]): LogicalPlan = {
       val ice = new IceTable(e.root, spark.sparkContext.hadoopConfiguration)
-      val folded = patterns.map(foldAscii).distinct
       val dict = ice.readSteps(spark, e.snapshot, "dict")
         .filter(graft.krep.functions.krep_contains(col("term"),
           KrepParams(folded)))

@@ -49,7 +49,10 @@ class IndexFilterRewriteSpec extends AnyFunSuite {
     val want = pred(engine.corpusDf).select("docId")
       .collect().map(_.getLong(0)).sorted.toSeq
     try {
-      IndexFilterRewrite.register(spark, indexRoot)
+      // gate off (maxCandidateFrac = 1.0): these cases test the JOIN PATH's
+      // semantics for hot and cold patterns alike; the default selectivity
+      // gate has its own test below
+      IndexFilterRewrite.register(spark, indexRoot, maxCandidateFrac = 1.0)
       val df = pred(engine.corpusDf)
       assert(fired(df), s"$name: rewrite did not fire")
       val got = df.select("docId").collect().map(_.getLong(0)).sorted.toSeq
@@ -113,6 +116,45 @@ class IndexFilterRewriteSpec extends AnyFunSuite {
       engine.corpusDf.write.mode("overwrite").parquet(outside)
       assert(!fired(spark.read.parquet(outside)
         .filter(K.krep_contains(col("text"), "ver"))))
+    } finally IndexFilterRewrite.deregister(indexRoot)
+  }
+
+  test("selectivity stand-down: hot pattern keeps the scan, rare one fires") {
+    import org.apache.spark.sql.functions.col
+    // default maxCandidateFrac: terms with df > N/8 are "hot" — the Zipf
+    // rank-0 term is in nearly every doc, so its candidate set would be the
+    // corpus and the semi join a pessimization; planted markers are ~1/97
+    // of docs, squarely worth the index path
+    IndexFilterRewrite.register(spark, indexRoot)
+    try {
+      val hot = engine.corpusDf.filter(K.krep_contains(col("text"), t(0)))
+      assert(!fired(hot), "hot pattern should stand down under the default gate")
+      // standing down is a plan choice, never an answer change
+      IndexFilterRewrite.deregister(indexRoot)
+      val want = engine.corpusDf.filter(K.krep_contains(col("text"), t(0))).count()
+      IndexFilterRewrite.register(spark, indexRoot)
+      assert(hot.count() == want)
+      assert(fired(engine.corpusDf.filter(
+        K.krep_contains(col("text"), "plantedmarker0"))),
+        "rare pattern must still take the index path")
+      // a rare pattern that is a SUBSTRING of a hot term inherits that
+      // term's postings — the gate must catch it too
+      val sub = t(0).substring(0, t(0).length - 1)
+      assert(!fired(engine.corpusDf.filter(K.krep_contains(col("text"), sub))),
+        "substring of a hot term should stand down")
+      // hot AND rare conjunction: the hot conjunct is skipped, the rare one
+      // still serves the whole filter from the index
+      val mixed = engine.corpusDf.filter(
+        K.krep_contains(col("text"), t(0)) &&
+          K.krep_contains(col("text"), "plantedmarker0"))
+      assert(fired(mixed),
+        "a later selective conjunct must fire when the first is hot")
+      IndexFilterRewrite.deregister(indexRoot)
+      val wantMixed = engine.corpusDf.filter(
+        K.krep_contains(col("text"), t(0)) &&
+          K.krep_contains(col("text"), "plantedmarker0")).count()
+      IndexFilterRewrite.register(spark, indexRoot)
+      assert(mixed.count() == wantMixed)
     } finally IndexFilterRewrite.deregister(indexRoot)
   }
 
