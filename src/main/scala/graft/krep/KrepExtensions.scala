@@ -17,7 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * single-literal case-sensitive non-whole-word `krep_contains` into Spark's
   * native `Contains` — the same physical choice the reference's kernel
   * selector makes for trivial patterns (krep.c:1771-1870), here letting the
-  * JVM-intrinsified `UTF8String.contains` serve the hot filter path.
+  * JVM-intrinsified `UTF8String.contains` serve the hot filter path. Also
+  * injects [[graft.query.IndexFilterRewrite]]'s rule (a no-op until a corpus
+  * is registered via `IndexFilterRewrite.register`), so a spark-submit user
+  * gets the index access path with nothing but the extensions conf plus one
+  * register call.
   */
 class KrepExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -27,6 +31,7 @@ class KrepExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.krep", name), builder))
     }
     ext.injectOptimizerRule(_ => SimplifyKrepContains)
+    ext.injectOptimizerRule(_ => graft.query.IndexFilterRewrite.Rule)
   }
 }
 

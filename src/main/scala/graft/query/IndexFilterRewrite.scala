@@ -134,11 +134,32 @@ object IndexFilterRewrite {
     new String(p.getBytes(StandardCharsets.UTF_8).map(AsciiFold.fold),
       StandardCharsets.UTF_8)
 
+  /** Name of the candidate plan's output attribute — doubles as the
+    * served-marker the rule greps for before firing (see apply).
+    */
+  private val CandAttr = "__graft_cand_docid"
+
   object Rule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
       with PredicateHelper {
 
     override def apply(plan: LogicalPlan): LogicalPlan = {
       if (entries.isEmpty) return plan
+      // Served-marker guard, and the rule's REAL fixpoint: the leafRelation
+      // stand-down alone is not enough, because this rule runs in a
+      // fixed-point batch WITH PushDownPredicate — the emitted
+      // Filter(cond, Join) gets its predicate pushed back under the semi
+      // join, re-exposing Filter(krep_contains, relation) to the next
+      // iteration, which would splice a second identical candidate join
+      // under the first (observed: optimizer-iteration-many nested semi
+      // joins, correct answers, ~100x the index work). One candidate join
+      // per query is the intended plan, so once any __graft_cand_docid
+      // semi join exists the rule is done with this tree.
+      val alreadyServed = plan.exists {
+        case j: Join if j.joinType == LeftSemi &&
+            j.right.output.exists(_.name == CandAttr) => true
+        case _ => false
+      }
+      if (alreadyServed) return plan
       plan.transformUp {
         case f @ Filter(cond, child) =>
           rewrite(f, cond, child).getOrElse(f)
@@ -169,9 +190,10 @@ object IndexFilterRewrite {
       }
 
     /** The filter's input must be the registered corpus relation itself (or
-      * a pure-attribute projection of it). Anything else — including the
-      * Join a previous firing spliced in — stands down, which is also what
-      * makes the rule a fixpoint.
+      * a pure-attribute projection of it). Anything else stands down. NOTE:
+      * this alone does NOT make the rule a fixpoint — predicate pushdown
+      * re-exposes the shape it rejects (see the served-marker guard in
+      * apply, which is the actual termination argument).
       */
     private def leafRelation(child: LogicalPlan): Option[LogicalRelation] =
       child match {
@@ -232,7 +254,7 @@ object IndexFilterRewrite {
       ice.readSteps(spark, e.snapshot, "postings")
         .select(col("termId"), col("docs"), col("n"))
         .join(dict, "termId")
-        .select(explode(docIds).as("__graft_cand_docid"))
+        .select(explode(docIds).as(CandAttr))
         .distinct()
         .queryExecution.optimizedPlan
     }

@@ -19,4 +19,13 @@ object GraftSqlBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** What an extensions injector would install at session build — the
+    * builder is `private[sql]`, and tests assert the spark-submit wiring
+    * without constructing a second SparkSession.
+    */
+  def injectedOptimizerRules(ext: SparkSessionExtensions, spark: SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
 }

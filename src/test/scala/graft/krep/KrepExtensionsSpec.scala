@@ -121,4 +121,18 @@ class KrepExtensionsSpec extends AnyFunSuite {
     assert(physical.contains("StringContains(p_name,an)"),
       s"expected StringContains pushdown in:\n$physical")
   }
+
+  test("spark.sql.extensions injector wires both optimizer rules + functions") {
+    // the spark-submit path: `--conf spark.sql.extensions=graft.krep.
+    // KrepExtensions` applies the class below at session build; assert the
+    // injector registers the kernel-simplification AND index-rewrite rules
+    // plus every SQL function, without needing a second SparkSession
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new KrepExtensions()(ext)
+    val rules = org.apache.spark.sql.GraftSqlBridge
+      .injectedOptimizerRules(ext, spark)
+    assert(rules.contains(SimplifyKrepContains), "SimplifyKrepContains missing")
+    assert(rules.contains(graft.query.IndexFilterRewrite.Rule),
+      "IndexFilterRewrite.Rule missing")
+  }
 }

@@ -34,10 +34,12 @@ class IndexFilterRewriteSpec extends AnyFunSuite {
   private def engine = new QueryEngine(spark, indexRoot)
   private def t(r: Int) = SynthWebText.term(r)
 
-  private def fired(df: DataFrame): Boolean =
+  private def semiJoins(df: DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {
       case j: Join if j.joinType == LeftSemi => j
-    }.nonEmpty
+    }.size
+
+  private def fired(df: DataFrame): Boolean = semiJoins(df) > 0
 
   /** Collect docIds of `pred` over the corpus twice: once with the root
     * deregistered (plain scan — the ground truth), once registered (must
@@ -54,7 +56,11 @@ class IndexFilterRewriteSpec extends AnyFunSuite {
       // gate has its own test below
       IndexFilterRewrite.register(spark, indexRoot, maxCandidateFrac = 1.0)
       val df = pred(engine.corpusDf)
-      assert(fired(df), s"$name: rewrite did not fire")
+      // exactly ONE candidate join: the rule once ping-ponged with
+      // predicate pushdown in the fixed-point batch, nesting a fresh semi
+      // join per optimizer iteration (correct answers, ~100x index work)
+      assert(semiJoins(df) == 1,
+        s"$name: expected exactly 1 semi join, got ${semiJoins(df)}")
       val got = df.select("docId").collect().map(_.getLong(0)).sorted.toSeq
       assert(got == want,
         s"$name: rewritten result diverges (${got.length} vs ${want.length} rows)")
