@@ -17,6 +17,16 @@ import graft.streaming.StreamingIndexer
   * atomic snapshot. `--once` processes everything currently available and
   * exits (cron-style incremental refresh); without it the query runs until
   * terminated, resuming from the checkpoint + last snapshot after a crash.
+  *
+  * Late-row caveat (standard event-time semantics, stated because it is
+  * silent): the url dedup keys its state on the `warc_ts` watermark, so
+  * rows older than (max event time seen − watermark) are dropped as LATE
+  * before they reach the index. Incremental batches must carry fresh crawl
+  * timestamps; for a backfill of old-timestamped pages, widen
+  * `--watermark` to cover the backfill's age (state grows with the window)
+  * or batch-append via [[graft.streaming.StreamingIndexer.appendBatch]]
+  * directly. The `--once` summary prints docs before → after so a
+  * silently-dropped batch is visible in the log.
   */
 object StreamIngest {
   def main(args: Array[String]): Unit = {
@@ -34,12 +44,19 @@ object StreamIngest {
     spark.sparkContext.setLogLevel("WARN")
 
     val indexer = new StreamingIndexer(spark, root, IndexConfig())
+    def docCount: Long =
+      if (indexer.ice.currentSnapshotId.isEmpty) 0L
+      else indexer.ice.completedSteps.get("docs").map(_.rowCount).getOrElse(0L)
+    val before = docCount
     val query = indexer.start(inputDir, checkpointDir, watermark)
     if (once) {
       query.processAllAvailable()
       query.stop()
+      val after = docCount
       println(s"[stream-ingest] processed available input; snapshot=" +
-        indexer.ice.currentSnapshotId.getOrElse(-1L))
+        indexer.ice.currentSnapshotId.getOrElse(-1L) +
+        s" docs=$before->$after (+${after - before};" +
+        " rows older than the stored watermark are dropped as late, see scaladoc)")
     } else {
       println(s"[stream-ingest] running; checkpoint=$checkpointDir")
       query.awaitTermination()
