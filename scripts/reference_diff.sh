@@ -1,0 +1,68 @@
+#!/bin/bash
+# Cross-binary differential: compile the reference krep (out-of-tree — the
+# reference dir is read-only), run it over generated corpora for the case
+# list shared with graft.bench.ReferenceDiff, then have the Spark
+# expressions compute the same counts and compare exactly.
+# Usage: scripts/reference_diff.sh [workDir]
+set -eu
+REF=${KREP_REF:-/root/reference}
+WORK=${1:-/tmp/krep_diff}
+BUILD=/tmp/krep-build
+cd "$(dirname "$0")/.."
+
+if ! command -v gcc >/dev/null; then
+  echo "reference_diff: gcc unavailable — skipping"; exit 0
+fi
+if [ ! -f "$REF/krep.c" ]; then
+  echo "reference_diff: reference source not found at $REF — skipping"; exit 0
+fi
+if [ ! -x "$BUILD/krep" ]; then
+  rm -rf "$BUILD"; cp -r "$REF" "$BUILD"
+  make -C "$BUILD" >/dev/null
+fi
+K="$BUILD/krep"
+
+rm -rf "$WORK"; mkdir -p "$WORK/inputs"
+python3 - "$WORK/inputs" <<'EOF'
+import random, sys, os
+out = sys.argv[1]
+rng = random.Random(4242)
+words = ["aa","aaa","aaaa","ab","ba","bab","baab","The","the","THE","Thorn",
+         "athe","xyz","a","b","cab","abab","Aa","aA","the.","(aa)","café",
+         "wort","Theory","lathe","AB","anna","naan"]
+for fi in range(12):
+    lines = []
+    for _ in range(rng.randint(25, 70)):
+        n = rng.randint(0, 9)
+        lines.append(" ".join(rng.choice(words) for _ in range(n)))
+    lines.append("a" * rng.randint(100, 400) + "b")  # long overlap stress
+    with open(os.path.join(out, f"f{fi:02d}.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+open(os.path.join(out, "empty.txt"), "w").close()
+EOF
+
+# caseId <-> krep flags; the Spark twin lives in ReferenceDiff.cases
+declare -A FLAGS=(
+  [c_aa]="-c aa"           [c_ab]="-c ab"          [c_The]="-c The"
+  [c_zz]="-c zz"           [ci_aa]="-ci aa"        [ci_The]="-ci The"
+  [cw_aa]="-cw aa"         [cw_The]="-cw The"      [cm]="-c -e aa -e ba"
+  [cre1]="-cE a+b?"        [cre2]="-cE [A-Z][a-z]+"
+  [co_aa]="-co aa"         [co_ab]="-co ab"        [co_The]="-co The"
+  [cow_aa]="-cow aa"       [coi_aa]="-coi aa"      [com]="-co -e aa -e ba"
+  [core1]="-coE a+b?"      [core2]="-coE [A-Z][a-z]+"
+)
+
+EXPECTED="$WORK/expected.tsv"; : > "$EXPECTED"
+for f in "$WORK"/inputs/*.txt; do
+  base=$(basename "$f")
+  for id in "${!FLAGS[@]}"; do
+    # shellcheck disable=SC2086
+    n=$("$K" ${FLAGS[$id]} "$f" 2>/dev/null | awk -F: '{print $NF}')
+    [ -n "$n" ] || n=0
+    printf '%s\t%s\t%s\n' "$id" "$base" "$n" >> "$EXPECTED"
+  done
+done
+echo "reference_diff: expected counts at $EXPECTED ($(wc -l < "$EXPECTED") rows)"
+
+sbt -batch "runMain graft.bench.ReferenceDiff $WORK/inputs $EXPECTED" 2>/dev/null \
+  | grep -E "MISMATCH|MISSING|reference-diff"

@@ -1,0 +1,109 @@
+package graft.bench
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.krep.{KrepParams, functions => K}
+
+/** Differential against the REFERENCE BINARY: `scripts/reference_diff.sh`
+  * compiles krep from /root/reference (into /tmp — the reference tree is
+  * read-only), runs it over generated corpora for a fixed case list, and
+  * this main computes the same counts through the Spark expressions and
+  * compares exactly.
+  *
+  * Case ids are shared with the script. Match-count (-co) cases compare
+  * only where the reference's kernel choice is determined: its own test
+  * corpus documents that BM counts overlapping while KMP/SSE count
+  * non-overlapping (test_krep.c:457-476), so a match count is only a
+  * "reference semantic" when the kernel is pinned. Case-sensitive literals
+  * take the BM path (overlapping, = our default); the case-insensitive
+  * kernel on AVX boxes advances past each match (non-overlapping, = our
+  * `overlapping = false`); regex is POSIX non-overlapping. Line counts
+  * (-c) are kernel-independent and compared for every mode. Our engine
+  * exposes `overlapping` as an explicit parameter precisely so these
+  * kernel-dependent answers become caller choices (SURVEY.md K1/K2).
+  */
+object ReferenceDiff {
+
+  /** caseId -> KrepParams + which count (lines vs matches). */
+  val cases: Seq[(String, KrepParams, Boolean)] = Seq(
+    ("c_aa", KrepParams(Seq("aa")), true),
+    ("c_ab", KrepParams(Seq("ab")), true),
+    ("c_The", KrepParams(Seq("The")), true),
+    ("c_zz", KrepParams(Seq("zz")), true),
+    ("ci_aa", KrepParams(Seq("aa"), caseSensitive = false), true),
+    ("ci_The", KrepParams(Seq("The"), caseSensitive = false), true),
+    ("cw_aa", KrepParams(Seq("aa"), wholeWord = true), true),
+    ("cw_The", KrepParams(Seq("The"), wholeWord = true), true),
+    ("cm", KrepParams(Seq("aa", "ba")), true),
+    ("cre1", KrepParams(Seq("a+b?"), regex = true, overlapping = false), true),
+    ("cre2", KrepParams(Seq("[A-Z][a-z]+"), regex = true, overlapping = false), true),
+    ("co_aa", KrepParams(Seq("aa")), false),
+    ("co_ab", KrepParams(Seq("ab")), false),
+    ("co_The", KrepParams(Seq("The")), false),
+    ("cow_aa", KrepParams(Seq("aa"), wholeWord = true), false),
+    ("coi_aa", KrepParams(Seq("aa"), caseSensitive = false,
+      overlapping = false), false),
+    ("com", KrepParams(Seq("aa", "ba")), false),
+    ("core1", KrepParams(Seq("a+b?"), regex = true, overlapping = false), false),
+    ("core2", KrepParams(Seq("[A-Z][a-z]+"), regex = true,
+      overlapping = false), false))
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: ReferenceDiff <inputsDir> <expectedTsv>")
+    val (inputsDir, expectedTsv) = (args(0), args(1))
+    val spark = SparkSession.builder()
+      .appName("graft-reference-diff").master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // expected: caseId \t fileName \t count
+    val expected = Files.readAllLines(Paths.get(expectedTsv)).asScala
+      .filter(_.nonEmpty).map { ln =>
+        val Array(c, f, n) = ln.split("\t")
+        ((c, f), n.toLong)
+      }.toMap
+
+    val files = Files.list(Paths.get(inputsDir)).iterator().asScala
+      .filter(_.toString.endsWith(".txt")).toSeq.sortBy(_.getFileName.toString)
+    val rows = files.map { p =>
+      (p.getFileName.toString,
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    }
+    val df = rows.toDF("file", "text")
+    val sel = df.select(col("file") +: cases.map { case (id, params, lines) =>
+      (if (lines) K.krep_count_lines(col("text"), params)
+       else K.krep_count(col("text"), params)).as(id)
+    }: _*)
+    val got = sel.collect()
+
+    var mismatches = 0
+    got.foreach { r =>
+      val file = r.getString(0)
+      cases.zipWithIndex.foreach { case ((id, _, _), i) =>
+        val ours = r.getLong(i + 1)
+        expected.get((id, file)) match {
+          case Some(ref) if ref != ours =>
+            mismatches += 1
+            println(s"MISMATCH $id $file ref=$ref spark=$ours")
+          case None =>
+            mismatches += 1
+            println(s"MISSING-EXPECTED $id $file")
+          case _ => ()
+        }
+      }
+    }
+    val total = got.length * cases.size
+    println(s"[reference-diff] $total comparisons, $mismatches mismatches")
+    spark.stop()
+    if (mismatches > 0) sys.exit(1)
+  }
+}

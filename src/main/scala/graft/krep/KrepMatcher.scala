@@ -138,6 +138,31 @@ final class KrepMatcher(val params: KrepParams) extends Serializable {
         val m = emptyTextRegex.matcher(str)
         if (m.find()) onMatch(m.start, m.end, 0)
       } else {
+        // Java regex reports UTF-16 offsets; the reference is byte-offset
+        // everywhere (krep.h:49-53), so matches are converted before emission
+        // and ALL paths report byte offsets. Identity (null map) when the
+        // text is pure ASCII — numBytes == numChars == UTF-16 length exactly
+        // then; match boundaries always sit on code-point starts, so byte
+        // slices of [start, end) stay valid UTF-8.
+        val u16ToByte: Array[Int] =
+          if (s.numBytes == str.length) null
+          else {
+            val map = new Array[Int](str.length + 1)
+            var bi = 0
+            var ci = 0
+            while (ci < str.length) {
+              map(ci) = bi
+              val cp = str.codePointAt(ci)
+              bi += (if (cp < 0x80) 1 else if (cp < 0x800) 2
+                     else if (cp < 0x10000) 3 else 4)
+              if (Character.charCount(cp) == 2) { map(ci + 1) = bi; ci += 2 }
+              else ci += 1
+            }
+            map(str.length) = bi
+            map
+          }
+        @inline def toByteOff(i: Int): Int =
+          if (u16ToByte == null) i else u16ToByte(i)
         // The reference loop (krep.c:1427-1560) never starts a search window
         // at the very end of the text (`while (rem > 0 ...)`), so a match at
         // position len is counted ONLY when an earlier window's first match
@@ -149,11 +174,7 @@ final class KrepMatcher(val params: KrepParams) extends Serializable {
         var go = true
         var exhausted = false
         while (go && from < str.length && { exhausted = !m.find(from); !exhausted }) {
-          // byte offsets == char offsets only for ASCII; regex path reports
-          // CHAR offsets (literal path reports byte offsets; the reference
-          // is byte-offset everywhere, krep.h:49-53 — divergence pinned by
-          // KrepMatcherSpec "literal path reports BYTE offsets...")
-          go = onMatch(m.start, m.end, 0)
+          go = onMatch(toByteOff(m.start), toByteOff(m.end), 0)
           // zero-length match must advance by one (reference krep.c:1543-1549)
           from = if (m.end == m.start) m.end + 1
           else if (overlapping) m.start + 1
@@ -172,7 +193,7 @@ final class KrepMatcher(val params: KrepParams) extends Serializable {
         if (go && exhausted && str.charAt(str.length - 1) == '\n') {
           val m2 = emptyTextRegex.matcher(str)
           m2.region(str.length, str.length)
-          if (m2.find()) onMatch(m2.start, m2.end, 0)
+          if (m2.find()) onMatch(toByteOff(m2.start), toByteOff(m2.end), 0)
         }
       }
     } else {
@@ -317,38 +338,23 @@ final class KrepMatcher(val params: KrepParams) extends Serializable {
     if (spans.isEmpty) return new GenericArrayData(Array.empty[Any])
     val sorted = spans.sortBy(identity).toArray
     val out = new Array[Any](sorted.length)
-    if (regex) {
-      val str = s.toString // regex offsets are char offsets
-      var line = 1
-      var scanned = 0
-      var i = 0
-      while (i < sorted.length) {
-        val (st, en) = sorted(i)
-        while (scanned < st) {
-          if (str.charAt(scanned) == '\n') line += 1
-          scanned += 1
-        }
-        out(i) = InternalRow(line,
-          UTF8String.fromString(str.substring(st, en).replace('\n', ' ')))
-        i += 1
+    // every path reports byte offsets (the regex path converts from UTF-16),
+    // so line resolution and slicing are uniformly byte-oriented
+    val bytes = s.getBytes
+    var line = 1
+    var scanned = 0
+    var i = 0
+    while (i < sorted.length) {
+      val (st, en) = sorted(i)
+      while (scanned < st) {
+        if (bytes(scanned) == '\n') line += 1
+        scanned += 1
       }
-    } else {
-      val bytes = s.getBytes
-      var line = 1
-      var scanned = 0
-      var i = 0
-      while (i < sorted.length) {
-        val (st, en) = sorted(i)
-        while (scanned < st) {
-          if (bytes(scanned) == '\n') line += 1
-          scanned += 1
-        }
-        val slice = java.util.Arrays.copyOfRange(bytes, st, en)
-        var j = 0
-        while (j < slice.length) { if (slice(j) == '\n') slice(j) = ' '; j += 1 }
-        out(i) = InternalRow(line, UTF8String.fromBytes(slice))
-        i += 1
-      }
+      val slice = java.util.Arrays.copyOfRange(bytes, st, en)
+      var j = 0
+      while (j < slice.length) { if (slice(j) == '\n') slice(j) = ' '; j += 1 }
+      out(i) = InternalRow(line, UTF8String.fromBytes(slice))
+      i += 1
     }
     new GenericArrayData(out)
   }
@@ -359,21 +365,14 @@ final class KrepMatcher(val params: KrepParams) extends Serializable {
   def extract(s: UTF8String): ArrayData = {
     if (maxCount <= 0) return new GenericArrayData(Array.empty[Any])
     val out = ArrayBuffer.empty[UTF8String]
-    if (regex) {
-      val str = s.toString
-      foreachMatch(s) { (st, en, _) =>
-        out += UTF8String.fromString(str.substring(st, en).replace('\n', ' '))
-        out.length < maxCount
-      }
-    } else {
-      val bytes = s.getBytes
-      foreachMatch(s) { (st, en, _) =>
-        val slice = java.util.Arrays.copyOfRange(bytes, st, en)
-        var i = 0
-        while (i < slice.length) { if (slice(i) == '\n') slice(i) = ' '; i += 1 }
-        out += UTF8String.fromBytes(slice)
-        out.length < maxCount
-      }
+    // byte offsets on every path (regex converts from UTF-16)
+    val bytes = s.getBytes
+    foreachMatch(s) { (st, en, _) =>
+      val slice = java.util.Arrays.copyOfRange(bytes, st, en)
+      var i = 0
+      while (i < slice.length) { if (slice(i) == '\n') slice(i) = ' '; i += 1 }
+      out += UTF8String.fromBytes(slice)
+      out.length < maxCount
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }

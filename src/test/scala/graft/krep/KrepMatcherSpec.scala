@@ -239,13 +239,13 @@ class KrepMatcherSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))) ==
       Seq((1, 4, 1), (2, 4, 0), (2, 6, 3)))
   }
-  test("literal path reports BYTE offsets, regex path CHAR offsets on multi-byte text") {
-    // 'é' is 2 UTF-8 bytes: the literal scan sees 'x' at byte [4,5) while
-    // the regex path (Java String machinery) sees char [2,3). The synthetic
-    // corpus is ASCII, where the two coincide; this pins the DOCUMENTED
-    // divergence (KrepMatcher regex loop; the reference is byte-offset
-    // everywhere, krep.h:49-53) so any future unification is a deliberate,
-    // test-visible change rather than silent drift.
+  test("literal AND regex paths report BYTE offsets on multi-byte text") {
+    // 'é' is 2 UTF-8 bytes: both paths see 'x' at byte [4,5). The regex
+    // path converts Java's UTF-16 offsets to bytes at emission (the
+    // reference is byte-offset everywhere, krep.h:49-53); the historical
+    // char-offset divergence mis-attributed regex matches to lines on
+    // multibyte text — caught by the reference-binary differential
+    // (scripts/reference_diff.sh) and fixed by the conversion.
     val text = UTF8String.fromString("ééx")
     val lit = new KrepMatcher(KrepParams(Seq("x"))).positions(text)
     assert(lit.numElements() == 1)
@@ -255,7 +255,17 @@ class KrepMatcherSpec extends AnyFunSuite {
       overlapping = false)).positions(text)
     assert(re.numElements() == 1)
     val rr = re.getStruct(0, 3)
-    assert((rr.getInt(0), rr.getInt(1)) == (2, 3), "regex = char offsets")
+    assert((rr.getInt(0), rr.getInt(1)) == (4, 5), "regex = byte offsets too")
+    // supplementary plane (4-byte emoji = 2 UTF-16 units) converts exactly
+    val emoji = UTF8String.fromString("a😀x")
+    val re2 = new KrepMatcher(KrepParams(Seq("x"), regex = true,
+      overlapping = false)).positions(emoji)
+    val r2 = re2.getStruct(0, 3)
+    assert((r2.getInt(0), r2.getInt(1)) == (5, 6), "4-byte rune maps to bytes")
+    // regex countLines on multibyte text: byte-consistent line attribution
+    val m = new KrepMatcher(KrepParams(Seq("[A-Z][a-z]+"), regex = true,
+      overlapping = false))
+    assert(m.countLines(UTF8String.fromString("café\nAb\ncafé Cd\nx")) == 2L)
   }
 
   test("extract -o: newline inside match becomes space") {
