@@ -50,14 +50,20 @@ declare -A FLAGS=(
   [co_aa]="-co aa"         [co_ab]="-co ab"        [co_The]="-co The"
   [cow_aa]="-cow aa"       [coi_aa]="-coi aa"      [com]="-co -e aa -e ba"
   [core1]="-coE a+b?"      [core2]="-coE [A-Z][a-z]+"
+  [c_anch1]="-cE ^a"       [c_anch2]="-cE b\$"     [c_empty]="-cE ^\$"
+  [co_anch1]="-coE ^a"     [co_anch2]="-coE b\$"   [co_empty]="-coE ^\$"
+  [co_star]="-coE xy*"
+  [c_par]="-c (aa)"        [co_par]="-co (aa)"
+  [c_dot]="-c the."        [co_dot]="-co the."
 )
 
 EXPECTED="$WORK/expected.tsv"; : > "$EXPECTED"
 for f in "$WORK"/inputs/*.txt; do
   base=$(basename "$f")
   for id in "${!FLAGS[@]}"; do
+    # subshell noglob: patterns like 'xy*'/'(aa)' are krep args, not globs
     # shellcheck disable=SC2086
-    n=$("$K" ${FLAGS[$id]} "$f" 2>/dev/null | awk -F: '{print $NF}')
+    n=$(set -f; "$K" ${FLAGS[$id]} "$f" 2>/dev/null | awk -F: '{print $NF}')
     [ -n "$n" ] || n=0
     printf '%s\t%s\t%s\n' "$id" "$base" "$n" >> "$EXPECTED"
   done

@@ -52,7 +52,22 @@ object ReferenceDiff {
     ("com", KrepParams(Seq("aa", "ba")), false),
     ("core1", KrepParams(Seq("a+b?"), regex = true, overlapping = false), false),
     ("core2", KrepParams(Seq("[A-Z][a-z]+"), regex = true,
-      overlapping = false), false))
+      overlapping = false), false),
+    // anchors, zero-length matches, and the glibc trailing-newline empty
+    // line — the semantics implemented from reading krep.c/glibc, here
+    // checked against the binary itself
+    ("c_anch1", KrepParams(Seq("^a"), regex = true, overlapping = false), true),
+    ("c_anch2", KrepParams(Seq("b$"), regex = true, overlapping = false), true),
+    ("c_empty", KrepParams(Seq("^$"), regex = true, overlapping = false), true),
+    ("co_anch1", KrepParams(Seq("^a"), regex = true, overlapping = false), false),
+    ("co_anch2", KrepParams(Seq("b$"), regex = true, overlapping = false), false),
+    ("co_empty", KrepParams(Seq("^$"), regex = true, overlapping = false), false),
+    ("co_star", KrepParams(Seq("xy*"), regex = true, overlapping = false), false),
+    // literals with non-word bytes (punctuation fast paths)
+    ("c_par", KrepParams(Seq("(aa)")), true),
+    ("co_par", KrepParams(Seq("(aa)")), false),
+    ("c_dot", KrepParams(Seq("the.")), true),
+    ("co_dot", KrepParams(Seq("the.")), false))
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: ReferenceDiff <inputsDir> <expectedTsv>")
