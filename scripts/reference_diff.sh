@@ -55,9 +55,22 @@ declare -A FLAGS=(
   [co_star]="-coE xy*"
   [c_par]="-c (aa)"        [co_par]="-co (aa)"
   [c_dot]="-c the."        [co_dot]="-co the."
+  [cm2]="-c -m 2 aa"       [com2]="-co -m 2 aa"
+)
+
+# only-matching cases: full (line, match) sequences, not just counts.
+# o_ci pins --algo=bm: the reference's DEFAULT case-insensitive -o kernel
+# has a content-dependent miss (repro: `printf 'wort The\n' | krep -oi The`
+# finds nothing, while the same binary's -ci counts the line and its
+# forced bm/kmp kernels both print the match) — we compare against the
+# reference's self-consistent kernel, not its bug.
+declare -A OFLAGS=(
+  [o_lit]="-o aa"          [o_ci]="--algo=bm -oi The"
+  [o_re]="-oE [A-Z][a-z]+" [o_mp]="-o -e aa -e ba"
 )
 
 EXPECTED="$WORK/expected.tsv"; : > "$EXPECTED"
+mkdir -p "$WORK/omatch"
 for f in "$WORK"/inputs/*.txt; do
   base=$(basename "$f")
   for id in "${!FLAGS[@]}"; do
@@ -66,6 +79,13 @@ for f in "$WORK"/inputs/*.txt; do
     n=$(set -f; "$K" ${FLAGS[$id]} "$f" 2>/dev/null | awk -F: '{print $NF}')
     [ -n "$n" ] || n=0
     printf '%s\t%s\t%s\n' "$id" "$base" "$n" >> "$EXPECTED"
+  done
+  for id in "${!OFLAGS[@]}"; do
+    # line:match pairs, sorted (the reference prints match order; our
+    # extract sorts by offset — compare as sorted multisets)
+    # shellcheck disable=SC2086
+    (set -f; "$K" --color=never ${OFLAGS[$id]} "$f" 2>/dev/null \
+      | awk -F: '{print $2":"$3}' | sort) > "$WORK/omatch/${id}__${base}"
   done
 done
 echo "reference_diff: expected counts at $EXPECTED ($(wc -l < "$EXPECTED") rows)"

@@ -67,7 +67,17 @@ object ReferenceDiff {
     ("c_par", KrepParams(Seq("(aa)")), true),
     ("co_par", KrepParams(Seq("(aa)")), false),
     ("c_dot", KrepParams(Seq("the.")), true),
-    ("co_dot", KrepParams(Seq("the.")), false))
+    ("co_dot", KrepParams(Seq("the.")), false),
+    // -m NUM: caps matching LINES in count mode, matches in -o mode
+    ("cm2", KrepParams(Seq("aa"), maxCount = 2), true),
+    ("com2", KrepParams(Seq("aa"), maxCount = 2), false))
+
+  /** only-matching cases: full sorted (line, match) sequences vs `krep -o`. */
+  val oCases: Seq[(String, KrepParams)] = Seq(
+    ("o_lit", KrepParams(Seq("aa"))),
+    ("o_ci", KrepParams(Seq("The"), caseSensitive = false)),
+    ("o_re", KrepParams(Seq("[A-Z][a-z]+"), regex = true, overlapping = false)),
+    ("o_mp", KrepParams(Seq("aa", "ba"))))
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: ReferenceDiff <inputsDir> <expectedTsv>")
@@ -116,8 +126,34 @@ object ReferenceDiff {
         }
       }
     }
+    // only-matching: sorted "line:match" sequences vs the dumped -o output
+    var oTotal = 0
+    val omatchDir = Paths.get(inputsDir).resolveSibling("omatch")
+    if (Files.isDirectory(omatchDir)) {
+      rows.foreach { case (file, _) =>
+        oCases.foreach { case (id, params) =>
+          val expFile = omatchDir.resolve(s"${id}__$file")
+          if (Files.exists(expFile)) {
+            oTotal += 1
+            val ref = Files.readAllLines(expFile).asScala.filter(_.nonEmpty).toSeq
+            val ours = df.filter(col("file") === file)
+              .select(K.krep_extract_lines(col("text"), params).as("x"))
+              .selectExpr("explode(x) as e")
+              .selectExpr("concat(e.ln, ':', e.m) as s")
+              .collect().map(_.getString(0)).sorted.toSeq
+            if (ours != ref) {
+              mismatches += 1
+              val d1 = ours.diff(ref).take(3)
+              val d2 = ref.diff(ours).take(3)
+              println(s"O-MISMATCH $id $file ours-only=$d1 ref-only=$d2")
+            }
+          }
+        }
+      }
+    }
     val total = got.length * cases.size
-    println(s"[reference-diff] $total comparisons, $mismatches mismatches")
+    println(s"[reference-diff] $total count + $oTotal only-matching " +
+      s"comparisons, $mismatches mismatches")
     spark.stop()
     if (mismatches > 0) sys.exit(1)
   }
