@@ -39,6 +39,15 @@ for fi in range(12):
     with open(os.path.join(out, f"f{fi:02d}.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
 open(os.path.join(out, "empty.txt"), "w").close()
+# CRLF-bearing file: POSIX REG_NEWLINE recognizes only '\n', so a line's
+# content includes the '\r' — 'b$' must NOT match "...b\r\n"; pins the
+# engine's UNIX_LINES flag choice against the binary
+with open(os.path.join(out, "crlf.txt"), "w", newline="") as f:
+    f.write("aa b\r\nThe ab\r\naa aa\nb\r\nempty\r\n\r\nb\n")
+# dense overlap + punctuation-only + blank-heavy file
+with open(os.path.join(out, "dense.txt"), "w") as f:
+    f.write("aaaaaaaaaaaa\n...((aa))...\n\n\n" + "ababab " * 30 + "\n"
+            + "aA" * 50 + "\n. , ; :\nThe\n")
 EOF
 
 # caseId <-> krep flags; the Spark twin lives in ReferenceDiff.cases
