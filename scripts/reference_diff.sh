@@ -65,6 +65,8 @@ declare -A FLAGS=(
   [c_par]="-c (aa)"        [co_par]="-co (aa)"
   [c_dot]="-c the."        [co_dot]="-co the."
   [cm2]="-c -m 2 aa"       [com2]="-co -m 2 aa"
+  [c_wre]="-cwE [a-z]+"    [co_wre]="-cowE [a-z]+"
+  [c_ac]="-c -f PATFILE"   [co_ac]="-co -f PATFILE"
 )
 
 # only-matching cases: full (line, match) sequences, not just counts.
@@ -76,24 +78,32 @@ declare -A FLAGS=(
 declare -A OFLAGS=(
   [o_lit]="-o aa"          [o_ci]="--algo=bm -oi The"
   [o_re]="-oE [A-Z][a-z]+" [o_mp]="-o -e aa -e ba"
+  [o_ac]="-o -f PATFILE"
 )
+
+# 20-pattern file: forces the reference's Aho-Corasick path (and ours);
+# list shared verbatim with ReferenceDiff.acPatterns
+PATFILE="$WORK/patterns.txt"
+printf '%s\n' aa ab ba The the cab ort wor xyz ann naan to hor ry at ea rn ab.c Aa b > "$PATFILE"
 
 EXPECTED="$WORK/expected.tsv"; : > "$EXPECTED"
 mkdir -p "$WORK/omatch"
 for f in "$WORK"/inputs/*.txt; do
   base=$(basename "$f")
   for id in "${!FLAGS[@]}"; do
+    flags=${FLAGS[$id]//PATFILE/$PATFILE}
     # subshell noglob: patterns like 'xy*'/'(aa)' are krep args, not globs
     # shellcheck disable=SC2086
-    n=$(set -f; "$K" ${FLAGS[$id]} "$f" 2>/dev/null | awk -F: '{print $NF}')
+    n=$(set -f; "$K" $flags "$f" 2>/dev/null | awk -F: '{print $NF}')
     [ -n "$n" ] || n=0
     printf '%s\t%s\t%s\n' "$id" "$base" "$n" >> "$EXPECTED"
   done
   for id in "${!OFLAGS[@]}"; do
+    oflags=${OFLAGS[$id]//PATFILE/$PATFILE}
     # line:match pairs, sorted (the reference prints match order; our
     # extract sorts by offset — compare as sorted multisets)
     # shellcheck disable=SC2086
-    (set -f; "$K" --color=never ${OFLAGS[$id]} "$f" 2>/dev/null \
+    (set -f; "$K" --color=never $oflags "$f" 2>/dev/null \
       | awk -F: '{print $2":"$3}' | sort) > "$WORK/omatch/${id}__${base}"
   done
 done

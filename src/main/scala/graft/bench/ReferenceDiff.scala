@@ -70,14 +70,29 @@ object ReferenceDiff {
     ("co_dot", KrepParams(Seq("the.")), false),
     // -m NUM: caps matching LINES in count mode, matches in -o mode
     ("cm2", KrepParams(Seq("aa"), maxCount = 2), true),
-    ("com2", KrepParams(Seq("aa"), maxCount = 2), false))
+    ("com2", KrepParams(Seq("aa"), maxCount = 2), false),
+    // whole-word REGEX (-wE): the reference boundary-checks regex matches,
+    // our engine wraps the pattern in word-byte lookarounds — must agree
+    ("c_wre", KrepParams(Seq("[a-z]+"), regex = true, wholeWord = true,
+      overlapping = false), true),
+    ("co_wre", KrepParams(Seq("[a-z]+"), regex = true, wholeWord = true,
+      overlapping = false), false),
+    // 20-pattern file (-f): forces Aho-Corasick on both sides
+    ("c_ac", KrepParams(acPatterns), true),
+    ("co_ac", KrepParams(acPatterns), false))
+
+  /** Shared verbatim with the PATFILE in scripts/reference_diff.sh. */
+  def acPatterns: Seq[String] = Seq("aa", "ab", "ba", "The", "the", "cab",
+    "ort", "wor", "xyz", "ann", "naan", "to", "hor", "ry", "at", "ea", "rn",
+    "ab.c", "Aa", "b")
 
   /** only-matching cases: full sorted (line, match) sequences vs `krep -o`. */
   val oCases: Seq[(String, KrepParams)] = Seq(
     ("o_lit", KrepParams(Seq("aa"))),
     ("o_ci", KrepParams(Seq("The"), caseSensitive = false)),
     ("o_re", KrepParams(Seq("[A-Z][a-z]+"), regex = true, overlapping = false)),
-    ("o_mp", KrepParams(Seq("aa", "ba"))))
+    ("o_mp", KrepParams(Seq("aa", "ba"))),
+    ("o_ac", KrepParams(acPatterns)))
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: ReferenceDiff <inputsDir> <expectedTsv>")
