@@ -157,9 +157,10 @@ object EntryQueries {
     */
   private def minhashBandPairs(d: DataFrame, bands: Int, rows: Int): DataFrame = {
     import d.sparkSession.implicits._
+    // all band hashes in one codegen'd kernel call (identical values to the
+    // per-band aggregate folds — OpsSpec pins it)
     val banded = d.select($"doc_id",
-      posexplode(array((0 until bands).map(b =>
-        TextOps.bandHashPoly($"sig", b, rows)): _*)))
+      posexplode(TextOps.bandHashesPolyAll($"sig", bands, rows)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
     banded.select($"band", $"bhash", $"doc_id".as("id_a"))
       .join(banded.select($"band", $"bhash", $"doc_id".as("id_b")),
@@ -473,14 +474,13 @@ object EntryQueries {
       // of the deduped survivors — the shingle sets join back only for the
       // candidate pairs, never through the band-join exchange.
       val docs = t(s, dir, "documents")
-      val hashed = docs
-        .select($"doc_id", TextOps.shingleHashesPoly($"text").as("hs"))
-        .persist() // barrier vs CollapseProject re-inlining (see minhash_pairs)
-      val d = hashed.select($"doc_id",
-        TextOps.minhashPolyFromHashes($"hs", k = 32).as("sig"))
+      // one fused kernel pass text → sig (no HOF interpretation, no barrier
+      // persists needed); persisted for reuse across the band join + rescore
+      val d = docs.select($"doc_id",
+        TextOps.minhashShingleSigPoly($"text", k = 32).as("sig"))
         .persist()
       val sh = docs
-        .select($"doc_id", TextOps.shingles($"text", 3).as("sh")).persist()
+        .select($"doc_id", TextOps.shinglesKernel($"text", 3).as("sh")).persist()
       minhashBandPairs(d, bands = 8, rows = 4)
         .join(sh.select($"doc_id".as("id_a"), $"sh".as("sa")), "id_a")
         .join(sh.select($"doc_id".as("id_b"), $"sh".as("sb")), "id_b")
@@ -492,15 +492,13 @@ object EntryQueries {
       import s.implicits._
       val bands = 8
       val rows = 4
-      // persist() between the projections is a materialization BARRIER:
-      // Catalyst's CollapseProject would otherwise merge them and re-inline
-      // the shingle-hash pipeline into each of the k min-scans (measured
-      // 32x recompute, 73s -> 10s on sf0.1)
-      val hashed = t(s, dir, "documents")
-        .select($"doc_id", TextOps.shingleHashesPoly($"text").as("hs"))
-        .persist()
-      val d = hashed.select($"doc_id",
-        TextOps.minhashPolyFromHashes($"hs", k = bands * rows).as("sig"))
+      // fused kernel: text → sig in ONE codegen'd pass (the HOF chain this
+      // replaces was interpreted CodegenFallback and needed persist barriers
+      // against CollapseProject re-inlining — measured 32x recompute); the
+      // remaining persist is plain reuse across band join + estimate joins
+      val d = t(s, dir, "documents")
+        .select($"doc_id",
+          TextOps.minhashShingleSigPoly($"text", k = bands * rows).as("sig"))
         .persist()
       // candidate pairs move bare ids through the band join; the 32-slot
       // signature arrays join back ONLY for the deduped survivors, so the
@@ -515,12 +513,10 @@ object EntryQueries {
       // the minimum doc_id reachable through the pair graph — the canonical
       // document a dedup pipeline keeps — in O(log n) pointer-doubling
       // rounds. csize counts the component (1 = unique document).
-      val hashed = t(s, dir, "documents")
-        .select($"doc_id", TextOps.shingleHashesPoly($"text").as("hs"))
-        .persist() // barrier vs CollapseProject (see minhash_pairs)
-      val d = hashed.select($"doc_id",
-        TextOps.minhashPolyFromHashes($"hs", k = 32).as("sig"))
-        .persist()
+      val d = t(s, dir, "documents")
+        .select($"doc_id",
+          TextOps.minhashShingleSigPoly($"text", k = 32).as("sig"))
+        .persist() // reuse across band join + estimate joins (see minhash_pairs)
       val edges = minhashConfirmedPairs(d, bands = 8, rows = 4,
         thresholdBps = 7000L).select($"id_a", $"id_b")
       val cc = DedupCluster.connectedComponents(
@@ -535,10 +531,10 @@ object EntryQueries {
     // gated in sbt, since no cross-engine oracle can reproduce xxhash64)
     "simhash" -> ((s, dir) => {
       import s.implicits._
+      // fused kernel: text → simhash in one codegen'd pass (no 31x HOF
+      // interpretation, no persist barrier — identical values, OpsSpec pins)
       t(s, dir, "documents")
-        .select($"doc_id", TextOps.hashedTermFreqsPoly($"text").as("htf"))
-        .persist() // barrier: stop CollapseProject inlining htf 31x
-        .select($"doc_id", TextOps.simhash31FromHashedTf($"htf").as("sh"))
+        .select($"doc_id", graft.ops.kernels.simhash31($"text").as("sh"))
         .orderBy($"doc_id")
     }),
 
@@ -657,7 +653,10 @@ object EntryQueries {
       // row EVIDENCE: a silent fall-back to the full scan would still return
       // the right rows, so the row must fail loudly instead.
       val engine = indexEngine(s, dir)
-      graft.query.IndexFilterRewrite.register(s, engine.root)
+      // floor=0: this row IS the plan-assert that the rewrite fires, so the
+      // cost floor (which would correctly stand down at sandbox corpus sizes)
+      // is disabled here deliberately
+      graft.query.IndexFilterRewrite.register(s, engine.root, minCorpusDocs = 0)
       // 'dup' hits ~5% of docs — selective enough that the default hot-term
       // gate keeps the index path (an unselective pattern like 'merge', in
       // ~80% of docs, would correctly stand down to the scan filter)

@@ -159,6 +159,26 @@ object TextOps {
     aggregate(slice(sig, band * rows + 1, rows), lit(0L),
       (acc, v) => (acc * 131L + v) % lit(HashP))
 
+  // --- fused codegen'd twins of the PolyHash MinHash pipeline ---------------
+  // Value-identical to shingleHashesPoly → minhashPolyFromHashes →
+  // bandHashPoly (OpsSpec pins the equality), but one unboxed kernel call per
+  // row instead of interpreted CodegenFallback lambdas — and with no
+  // intermediate column there is nothing for CollapseProject to re-inline,
+  // so the persist() barriers the HOF chain required become plain reuse
+  // persists.
+
+  /** text → k-slot MinHash signature in one pass ([[MinHashShingleSig]]). */
+  def minhashShingleSigPoly(text: Column, k: Int, shingleN: Int = 3): Column =
+    kernels.minhash_shingle_sig(text, shingleN, k)
+
+  /** sig → all `bands` LSH band hashes in one pass ([[BandHashesPoly]]). */
+  def bandHashesPolyAll(sig: Column, bands: Int, rows: Int): Column =
+    kernels.band_hashes_poly(sig, bands, rows)
+
+  /** Codegen'd twin of [[shingles]] ([[ShingleStrings]]). */
+  def shinglesKernel(text: Column, n: Int): Column =
+    kernels.shingle_strings(text, n)
+
   /** (polyhash(term), tf) pairs — materialize before [[simhash31FromHashedTf]]. */
   def hashedTermFreqsPoly(text: Column): Column =
     transform(K.krep_term_freqs(text), e =>

@@ -275,6 +275,254 @@ case class IvfCellOf(child: Expression, cents: IvfCentroids, dim: Int)
   override def prettyName: String = "ivf_cell_of"
 }
 
+/** One-pass MinHash-over-shingles kernel: text → k-slot PolyHash MinHash
+  * signature, replacing the interpreted higher-order-function chain
+  * `transform(shingles) → poly_hash → k × aggregate(least)` with a single
+  * codegen'd call per row. The HOF chain is CodegenFallback in Spark —
+  * every lambda step boxes and interprets — and it needed TWO persist()
+  * barriers to stop CollapseProject re-inlining the shingle pipeline into
+  * each of the k min-scans. The kernel computes identical values (same
+  * byte-level PolyHash of "tok1 tok2 tok3", same (h·a_i + b_i) mod P slot
+  * arithmetic, same empty-shingle default P) in one unboxed pass, needs no
+  * barrier, and no intermediate shingle strings or hash arrays exist at all.
+  * Arithmetic-safety: h, a < P = 2^31-1 so h·a < 2^62 — no Long overflow,
+  * matching the HOF fold exactly.
+  */
+final class MinHasher(val shingleN: Int, val k: Int) extends Serializable {
+  import MinHasher.P
+  private val coeffs = TextOps.minhashCoeffs(k)
+  private val as: Array[Long] = coeffs.map(_._1).toArray
+  private val bs: Array[Long] = coeffs.map(_._2).toArray
+
+  /** PolyHash of each n-gram shingle, without building the shingle strings:
+    * the hash folds over the exact byte sequence `tok_i ⧺ ' ' ⧺ tok_{i+1} ⧺
+    * … ` that `concat_ws(" ", …)` would produce.
+    */
+  def shingleHashes(s: UTF8String): Array[Long] = {
+    val toks = graft.krep.KrepTokenize.tokenize(s)
+    if (toks.length < shingleN) return Array.emptyLongArray
+    val m = toks.length - shingleN + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < shingleN) {
+        if (j > 0) h = (h * 131L + 32L) % P // the joining space byte
+        val b = toks(i + j).getBytes
+        var q = 0
+        while (q < b.length) { h = (h * 131L + (b(q) & 0xffL)) % P; q += 1 }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** k-slot signature: slot i = min over shingle hashes of (h·a_i+b_i) mod P;
+    * empty shingle set → all P (the oracle's coalesce default).
+    */
+  def sig(s: UTF8String): ArrayData = {
+    val hs = shingleHashes(s)
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, P)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var j = 0
+      while (j < k) {
+        val v = (h * as(j) + bs(j)) % P
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+object MinHasher {
+  val P = 2147483647L // 2^31 - 1
+
+  /** All LSH band hashes of a signature in one call — the codegen'd twin of
+    * `bands × aggregate(slice(sig), (acc,v) => (acc·131+v) mod P)`.
+    */
+  def bandHashes(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var j = 0
+      while (j < rows) { acc = (acc * 131L + sig.getLong(b * rows + j)) % P; j += 1 }
+      out(b) = acc
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** text → k-slot PolyHash MinHash signature (codegen'd; see [[MinHasher]]). */
+case class MinHashShingleSig(child: Expression, shingleN: Int, k: Int)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val hasher = new MinHasher(shingleN, k)
+  override def nullSafeEval(v: Any): Any = hasher.sig(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHasher", hasher, classOf[MinHasher].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.sig($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashShingleSig =
+    copy(child = c)
+  override def prettyName: String = "minhash_shingle_sig"
+}
+
+/** sig → per-band LSH hashes (codegen'd; see [[MinHasher.bandHashes]]). */
+case class BandHashesPoly(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    MinHasher.bandHashes(v.asInstanceOf[ArrayData], bands, rows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.ops.MinHasher.bandHashes($c, $bands, $rows)")
+  override protected def withNewChildInternal(c: Expression): BandHashesPoly =
+    copy(child = c)
+  override def prettyName: String = "band_hashes_poly"
+}
+
+/** text → n-gram shingle strings (codegen'd twin of
+  * `transform(sequence(…), i => concat_ws(" ", tok_i, …))`): identical
+  * values — each shingle is the space-joined folded tokens — built in one
+  * pass over the token byte slices.
+  */
+case class ShingleStrings(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleStrings.shingles(v.asInstanceOf[UTF8String], shingleN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.ShingleStrings.shingles($c, $shingleN)")
+  override protected def withNewChildInternal(c: Expression): ShingleStrings =
+    copy(child = c)
+  override def prettyName: String = "shingle_strings"
+}
+object ShingleStrings {
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val toks = graft.krep.KrepTokenize.tokenize(s)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val m = toks.length - n + 1
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      var len = n - 1 // joining spaces
+      var j = 0
+      while (j < n) { len += toks(i + j).numBytes(); j += 1 }
+      val b = new Array[Byte](len)
+      var off = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { b(off) = ' '; off += 1 }
+        val t = toks(i + j).getBytes
+        System.arraycopy(t, 0, b, off, t.length)
+        off += t.length
+        j += 1
+      }
+      out(i) = UTF8String.fromBytes(b)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** text → 31-bit PolyHash SimHash in one pass (codegen'd twin of
+  * `hashedTermFreqsPoly → 31 × aggregate(vote)`): per distinct term, tf
+  * ±1-votes on each hash bit; bit j set iff the vote is positive; bits
+  * assembled MSB-first — identical values (long adds are exact and
+  * commutative over the per-term votes).
+  */
+case class Simhash31(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Simhash31.simhash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Simhash31.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): Simhash31 =
+    copy(child = c)
+  override def prettyName: String = "simhash31"
+}
+object Simhash31 {
+  def simhash(s: UTF8String): Long = {
+    // same run-length (term, tf) walk as KrepTermFreqs, votes accumulated
+    // inline — no struct rows materialized
+    val toks = graft.krep.KrepTokenize.tokenize(s)
+    val votes = new Array[Long](31)
+    if (toks.nonEmpty) {
+      java.util.Arrays.sort(toks,
+        (a: UTF8String, b: UTF8String) => a.compareTo(b))
+      var runStart = 0
+      var i = 1
+      while (i <= toks.length) {
+        if (i == toks.length || toks(i).compareTo(toks(runStart)) != 0) {
+          val h = PolyHashFn.hash(toks(runStart))
+          val tf = (i - runStart).toLong
+          var j = 0
+          while (j < 31) {
+            votes(j) += (if (((h >>> j) & 1L) == 1L) tf else -tf)
+            j += 1
+          }
+          runStart = i
+        }
+        i += 1
+      }
+    }
+    var acc = 0L
+    var j = 0
+    while (j < 31) { acc = (acc << 1) | (if (votes(j) > 0L) 1L else 0L); j += 1 }
+    acc
+  }
+}
+
+/** Occurrence count of one literal token in an ARRAY<STRING> column
+  * (codegen'd) — the per-row twin of `explode → filter(= tok) → count`:
+  * the scan-path BM25 computes per-term tf with one call per (doc, term)
+  * instead of shuffling one row per token match.
+  */
+case class TokenOccurrences(child: Expression, token: String)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  @transient private lazy val tok = UTF8String.fromString(token)
+  override def nullSafeEval(v: Any): Any =
+    TokenOccurrences.count(v.asInstanceOf[ArrayData], tok)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tok", UTF8String.fromString(token),
+      classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c => s"graft.ops.TokenOccurrences.count($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): TokenOccurrences =
+    copy(child = c)
+  override def prettyName: String = "token_occurrences"
+}
+object TokenOccurrences {
+  def count(a: ArrayData, tok: UTF8String): Int = {
+    val n = a.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getUTF8String(i).equals(tok)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
 /** Polynomial string hash h = fold(bytes)((acc * 131 + byte) mod (2^31-1)) —
   * the cross-engine-exact hash: DuckDB computes the identical value with
   * list_reduce over ascii codepoints (ASCII inputs), which upgrades the
@@ -318,4 +566,18 @@ object kernels {
   def ivf_cell_of(v: Column, cents: IvfCentroids, dim: Int): Column =
     GraftSqlBridge.column(IvfCellOf(
       GraftSqlBridge.expression(v), cents, dim))
+  def minhash_shingle_sig(text: Column, shingleN: Int, k: Int): Column =
+    GraftSqlBridge.column(MinHashShingleSig(
+      GraftSqlBridge.expression(text), shingleN, k))
+  def band_hashes_poly(sig: Column, bands: Int, rows: Int): Column =
+    GraftSqlBridge.column(BandHashesPoly(
+      GraftSqlBridge.expression(sig), bands, rows))
+  def shingle_strings(text: Column, shingleN: Int): Column =
+    GraftSqlBridge.column(ShingleStrings(
+      GraftSqlBridge.expression(text), shingleN))
+  def simhash31(text: Column): Column =
+    GraftSqlBridge.column(Simhash31(GraftSqlBridge.expression(text)))
+  def token_occurrences(toks: Column, token: String): Column =
+    GraftSqlBridge.column(TokenOccurrences(
+      GraftSqlBridge.expression(toks), token))
 }

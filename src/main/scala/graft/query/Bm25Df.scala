@@ -13,9 +13,18 @@ import graft.krep.{functions => K}
   */
 object Bm25Df {
 
-  /** Top-k (rank, id, score) for a free-text query. Narrow scans over a
-    * pruned (id, text) projection; the top-k is `ORDER BY ... LIMIT k`
-    * (per-partition heads + driver merge, no global sort materialization).
+  /** Top-k (rank, id, score) for a free-text query. Two narrow passes over a
+    * tokenized (id, toks, dl) projection — no per-token explode, no wide
+    * shuffle: pass 1 computes corpus stats AND per-term document frequencies
+    * in one aggregation (df via `array_contains`), pass 2 scores each doc
+    * with a per-row codegen'd tf kernel ([[graft.ops.TokenOccurrences]]) and
+    * takes the top-k with `ORDER BY ... LIMIT k` (per-partition heads +
+    * driver merge). Scores are bit-identical to the explode/groupBy shape
+    * this replaces: the per-addend arithmetic matches [[Bm25.addend]]'s op
+    * order, addends fold in canonical term order from 0.0, and a term absent
+    * from a doc contributes an exact 0.0 (x + 0.0 == x for these finite
+    * non-negative doubles), while docs containing NO query term are filtered
+    * out — the same row set the tf join produced.
     */
   def topK(docs: DataFrame, idCol: String, textCol: String, query: String,
       k: Int): DataFrame = {
@@ -29,38 +38,27 @@ object Bm25Df {
       .select($"id", $"toks", size($"toks").cast("long").as("dl"))
       .cache()
 
-    val stats = base.agg(count("*").as("n"), avg("dl").as("avgdl")).head()
+    // one pass: n, avgdl and df_t (docs containing t) together
+    val aggCols = Seq(count("*").as("n"), avg("dl").as("avgdl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        count(when(array_contains($"toks", t), 1)).as(s"df_$i")
+      }
+    val stats = base.agg(aggCols.head, aggCols.tail: _*).head()
     val n = stats.getLong(0)
     val avgdl = stats.getDouble(1)
+    val idfs = terms.indices.map(i => Bm25.idf(n, stats.getLong(2 + i)))
 
-    val tf = base
-      .select($"id", $"dl", explode($"toks").as("term"))
-      .filter($"term".isin(terms.toSeq: _*))
-      .groupBy($"id", $"dl", $"term").agg(count("*").cast("int").as("tf"))
-
-    val dfByTerm = tf.groupBy($"term").agg(countDistinct($"id").as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val idfs = terms.map(t => Bm25.idf(n, dfByTerm.getOrElse(t, 0L)))
-
-    // term → (index, idf) as when-chains: tiny, codegen'd, no UDF
-    def chain(f: Int => Column): Column =
-      terms.zipWithIndex.tail.foldLeft(when($"term" === terms.head, f(0))) {
-        case (acc, (t, i)) => acc.when($"term" === t, f(i))
-      }
-    val tiCol = chain(i => lit(i))
-    // addend with the same op order as Bm25.addend: idf * (num / den)
-    val num = $"tf" * lit(Bm25.K1 + 1.0)
-    val den = $"tf" + lit(Bm25.K1) *
+    // same op order as Bm25.addend: idf * (num / den); tf per term from the
+    // codegen'd occurrence counter instead of explode + groupBy
+    val denNorm = lit(Bm25.K1) *
       (lit(1.0 - Bm25.B) + lit(Bm25.B) * $"dl" / lit(avgdl))
-    val addendCol = chain(i => lit(idfs(i))) * (num / den)
-
-    val scored = tf
-      .withColumn("ti", tiCol)
-      .withColumn("addend", addendCol)
-      .groupBy($"id")
-      .agg(sort_array(collect_list(struct($"ti", $"addend"))).as("parts"))
-      .select($"id",
-        aggregate($"parts", lit(0.0), (acc, x) => acc + x.getField("addend")).as("score"))
+    val score = terms.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (t, i)) =>
+      val tf = graft.ops.kernels.token_occurrences($"toks", t)
+      acc + lit(idfs(i)) * ((tf * lit(Bm25.K1 + 1.0)) / (tf + denNorm))
+    }
+    val scored = base
+      .filter(terms.map(t => array_contains($"toks", t)).reduce(_ || _))
+      .select($"id", score.as("score"))
       .orderBy($"score".desc, $"id".asc)
       .limit(k)
 

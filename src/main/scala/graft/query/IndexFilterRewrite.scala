@@ -66,7 +66,13 @@ object IndexFilterRewrite {
       snapshot: scala.collection.Map[String, StepInfo],
       corpusFiles: Set[String],
       docCount: Long,
-      hotTerms: Array[String])
+      hotTerms: Array[String],
+      // full (term, termId) dict when small enough to pin at register time
+      // (the serving-tier discipline QueryEngine.dictCacheThreshold applies
+      // to queries): candidate termIds then resolve at PLAN time on the
+      // driver — no dict-scan job, no dict join in the candidate plan
+      dictTerms: Array[String],
+      dictTermIds: Array[Long])
 
   /** Registered corpora, keyed by index root. */
   private val entries = new ConcurrentHashMap[String, Entry]
@@ -92,23 +98,54 @@ object IndexFilterRewrite {
     * heuristic, not a soundness condition — both plans return identical
     * rows — so `maxCandidateFrac = 1.0` disables it (no dict scan).
     */
+  /** Cost floor (`minCorpusDocs`): below this corpus size the rewrite stands
+    * down entirely — the semi-join machinery (dict resolution, candidate
+    * explode + distinct, the join itself) costs more than the codegen'd scan
+    * filter it would replace when the whole corpus scans in milliseconds.
+    * Like the hot-term gate it is a cost heuristic, never a soundness
+    * condition; `minCorpusDocs = 0` disables it (tests and plan-assert rows
+    * that must observe the firing register with 0).
+    */
   def register(spark: SparkSession, root: String,
-      maxCandidateFrac: Double = 0.125, hotTermCap: Int = 4096): Unit = {
+      maxCandidateFrac: Double = 0.125, hotTermCap: Int = 4096,
+      minCorpusDocs: Long = 100000L,
+      dictCacheMax: Long = 500000L): Unit = {
     install(spark)
     val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
     val snap = ice.completedSteps
+    val nDocs = snap("docs").rowCount
+    if (nDocs < minCorpusDocs) { entries.remove(root); return }
+    // re-registering an unchanged snapshot is a no-op: the dict collect
+    // below is a Spark job, and callers re-register per query defensively
+    val prev = entries.get(root)
+    if (prev != null && prev.snapshot.get("dict") == snap.get("dict") &&
+        prev.snapshot.get("corpus") == snap.get("corpus")) return
     val cs = snap("corpus")
     val files = cs.files.map { case (f, _) => normalize(s"${cs.table}/$f") }.toSet
-    val nDocs = snap("docs").rowCount
     val minDf = math.max(1L, (nDocs * maxCandidateFrac).toLong)
-    val hot =
-      if (maxCandidateFrac >= 1.0) Array.empty[String]
-      else ice.readSteps(spark, snap, "dict")
-        .filter(col("df") > minDf)
-        .orderBy(col("df").desc, col("term"))
-        .limit(hotTermCap)
-        .select("term").collect().map(_.getString(0))
-    entries.put(root, Entry(root, snap, files, nDocs, hot))
+    val dictRows = snap("dict").rowCount
+    if (dictRows <= dictCacheMax) {
+      // ONE collect serves both the hot-term gate and the plan-time termId
+      // resolution
+      val rows = ice.readSteps(spark, snap, "dict")
+        .select(col("term"), col("termId"), col("df"))
+        .collect()
+      val hot =
+        if (maxCandidateFrac >= 1.0) Array.empty[String]
+        else rows.iterator.filter(_.getLong(2) > minDf)
+          .map(_.getString(0)).toArray
+      entries.put(root, Entry(root, snap, files, nDocs, hot,
+        rows.map(_.getString(0)), rows.map(_.getLong(1))))
+    } else {
+      val hot =
+        if (maxCandidateFrac >= 1.0) Array.empty[String]
+        else ice.readSteps(spark, snap, "dict")
+          .filter(col("df") > minDf)
+          .orderBy(col("df").desc, col("term"))
+          .limit(hotTermCap)
+          .select("term").collect().map(_.getString(0))
+      entries.put(root, Entry(root, snap, files, nDocs, hot, null, null))
+    }
   }
 
   def deregister(root: String): Unit = entries.remove(root)
@@ -244,16 +281,44 @@ object IndexFilterRewrite {
     private def candidatePlan(spark: SparkSession, e: Entry,
         folded: Seq[String]): LogicalPlan = {
       val ice = new IceTable(e.root, spark.sparkContext.hadoopConfiguration)
-      val dict = ice.readSteps(spark, e.snapshot, "dict")
-        .filter(graft.krep.functions.krep_contains(col("term"),
-          KrepParams(folded)))
-        .select(col("termId"))
+      val postings = ice.readSteps(spark, e.snapshot, "postings")
+        .select(col("termId"), col("docs"), col("n"))
+      // plan-time termId resolution over the register-time dict cache (pure
+      // driver CPU through the same matcher the dict-scan plan compiles):
+      // the candidate plan loses its dict-scan job AND its dict join — the
+      // `termId IN (...)` predicate pushes down to the postings parquet
+      // scan, whose files are (termId, docId)-sorted, so row-group min/max
+      // pruning reads only the matching terms' blocks. Falls back to the
+      // declarative dict-scan join when the dict was too big to pin or the
+      // IN list would bloat the plan.
+      val matchedIds: Array[Long] =
+        if (e.dictTerms == null) null
+        else {
+          val m = new graft.krep.KrepMatcher(KrepParams(folded))
+          val b = Array.newBuilder[Long]
+          var i = 0
+          while (i < e.dictTerms.length) {
+            if (m.contains(UTF8String.fromString(e.dictTerms(i))))
+              b += e.dictTermIds(i)
+            i += 1
+          }
+          b.result()
+        }
+      val pruned =
+        if (matchedIds != null && matchedIds.length <= 4096)
+          postings.filter(col("termId").isin(
+            matchedIds.map(java.lang.Long.valueOf).toSeq: _*))
+        else {
+          val dict = ice.readSteps(spark, e.snapshot, "dict")
+            .filter(graft.krep.functions.krep_contains(col("term"),
+              KrepParams(folded)))
+            .select(col("termId"))
+          postings.join(dict, "termId")
+        }
       val docIds = GraftSqlBridge.column(BlockDocIds(
         GraftSqlBridge.expression(col("docs")),
         GraftSqlBridge.expression(col("n"))))
-      ice.readSteps(spark, e.snapshot, "postings")
-        .select(col("termId"), col("docs"), col("n"))
-        .join(dict, "termId")
+      pruned
         .select(explode(docIds).as(CandAttr))
         .distinct()
         .queryExecution.optimizedPlan

@@ -121,16 +121,42 @@ final class StreamingIndexer(spark: SparkSession, root: String,
         $"ddf".as("df"), $"dcf".as("cf"))
     known.unionByName(newTerms).write.parquet(deltaDir("dict"))
 
-    // postings delta: same shape as the batch build, new immutable files
-    val dictJ = broadcast(spark.read.parquet(deltaDir("dict"))
-      .select($"termId", $"term"))
-    val rows = tfDeltaC.join(dictJ, "term")
-      .select($"termId", $"docId", $"tf".cast("int"), $"dl".cast("int"), $"posv")
-      .as[(Long, Long, Int, Int, Array[Byte])]
-      .repartition(cfg.partitions, $"termId", floor($"docId" / cfg.docsPerSegment))
-      .sortWithinPartitions($"termId", $"docId")
-    IndexBuilder.encodeBlocks(rows, cfg.blockSize, cfg.docsPerSegment)
-      .toDF().write.parquet(deltaDir("postings"))
+    // postings delta: same exchange discipline as the batch build. The dict
+    // join is GATED on the merged dict's row count (read from the parquet
+    // footers just written — zero extra jobs) exactly like
+    // IndexBuilder's dictBroadcastThreshold: a 10^8-row dict must never be
+    // broadcast by an appender. And the exchange is the SLIM one whenever
+    // the BATCH fits the dl table (batch docIds are dense from baseN, so
+    // DlTable(baseN, dls) is one Int per batch doc): tf re-derives from the
+    // posv varint count, dl from the broadcast table — two fewer slots per
+    // (doc, term) row through the append's widest shuffle, byte-identical
+    // blocks (SlimExchangeSpec pins the streaming path too).
+    val mergedDictRows = ice.parquetLineageIn("dict", tag).map(_._2).sum
+    val dictDf = spark.read.parquet(deltaDir("dict")).select($"termId", $"term")
+    val dictJ =
+      if (mergedDictRows <= cfg.dictBroadcastThreshold) broadcast(dictDf)
+      else dictDf
+    val batchDocs = ice.parquetLineageIn("docs", tag).map(_._2).sum
+    val blocks = if (batchDocs <= cfg.dlBroadcastMaxDocs) {
+      val dlArr = new Array[Int](batchDocs.toInt)
+      corpusDeltaC.select($"docId", $"dl".cast("int")).as[(Long, Int)]
+        .collect().foreach { case (d, l) => dlArr((d - baseN).toInt) = l }
+      val dlt = spark.sparkContext.broadcast(IndexBuilder.DlTable(baseN, dlArr))
+      val rows = tfDeltaC.join(dictJ, "term")
+        .select($"termId", $"docId", $"posv")
+        .as[(Long, Long, Array[Byte])]
+        .repartition(cfg.partitions, $"termId", floor($"docId" / cfg.docsPerSegment))
+        .sortWithinPartitions($"termId", $"docId")
+      IndexBuilder.encodeBlocksSlim(rows, dlt, cfg.blockSize, cfg.docsPerSegment)
+    } else {
+      val rows = tfDeltaC.join(dictJ, "term")
+        .select($"termId", $"docId", $"tf".cast("int"), $"dl".cast("int"), $"posv")
+        .as[(Long, Long, Int, Int, Array[Byte])]
+        .repartition(cfg.partitions, $"termId", floor($"docId" / cfg.docsPerSegment))
+        .sortWithinPartitions($"termId", $"docId")
+      IndexBuilder.encodeBlocks(rows, cfg.blockSize, cfg.docsPerSegment)
+    }
+    blocks.toDF().write.parquet(deltaDir("postings"))
 
     // stats: committed docs ∪ this delta — a new version directory
     ice.readTable(spark, "docs").select($"dl")

@@ -47,6 +47,50 @@ class SlimExchangeSpec extends AnyFunSuite {
     assert(slim.nonEmpty)
   }
 
+  test("streaming appender: slim+broadcast path == forced plain-join fat path, byte-identical") {
+    import spark.implicits._
+    val nDocs = 1200L
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi, 1, 2).map(i => SynthWebText.page(i))
+    val cfgBase = IndexConfig(blockSize = 64, docsPerSegment = 512,
+      partitions = 4)
+
+    // default gates: merged dict below threshold → broadcast join; batch
+    // below dlBroadcastMaxDocs → slim exchange
+    val slimRoot = Files.createTempDirectory("graft-stream-slim-").toString
+    val slimIdx = new graft.streaming.StreamingIndexer(spark, slimRoot, cfgBase)
+    slimIdx.appendBatch(batch(0L, nDocs / 2))
+    slimIdx.appendBatch(batch(nDocs / 2, nDocs))
+
+    // gates closed (threshold 0): plain shuffle dict join + fat dl-carrying
+    // exchange — the 10^8-dict appender's path, forced on a small fixture
+    val fatRoot = Files.createTempDirectory("graft-stream-fat-").toString
+    val fatIdx = new graft.streaming.StreamingIndexer(spark, fatRoot,
+      cfgBase.copy(dictBroadcastThreshold = 0L, dlBroadcastMaxDocs = 0L))
+    fatIdx.appendBatch(batch(0L, nDocs / 2))
+    fatIdx.appendBatch(batch(nDocs / 2, nDocs))
+
+    // same batch splits → same docId assignment → block-level comparison
+    assert(blockSig(slimRoot) == blockSig(fatRoot),
+      "streaming slim and fat appends must encode byte-identical blocks")
+
+    // streaming == batch stays intact on BOTH paths (url-keyed: batch and
+    // incremental builds assign different docIds to the same documents)
+    val batchRoot = Files.createTempDirectory("graft-stream-batch-").toString
+    new IndexBuilder(spark, batchRoot, cfgBase)
+      .build(SynthWebText.pages(spark, nDocs, numPartitions = 4))
+    val q = Seq(0, 3, 7).map(SynthWebText.term).mkString(" ")
+    def byUrl(root: String): Seq[(Double, String)] =
+      new graft.query.QueryEngine(spark, root)
+        .searchDf(q, 10).collect()
+        .map(r => (r.getDouble(3), r.getString(2)))
+        .sortBy { case (s, u) => (-s, u) }.toSeq
+    val want = byUrl(batchRoot)
+    assert(want.nonEmpty)
+    assert(byUrl(slimRoot) == want)
+    assert(byUrl(fatRoot) == want)
+  }
+
   test("countVarints recovers tf from every packed strip shape") {
     val rnd = new scala.util.Random(7)
     (0 until 200).foreach { _ =>

@@ -22,6 +22,51 @@ class OpsSpec extends AnyFunSuite {
     assert(viaAgg == viaSort)
   }
 
+  test("fused minhash/band/shingle/simhash kernels == HOF formulations") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // edge cases on purpose: empty, 1-2 tokens (below shingle width),
+    // punctuation-only, case folding, digits/underscores, multibyte UTF-8
+    // (non-word bytes split tokens), long repetitive text
+    val texts = Seq(
+      "", "one", "two tokens", "   ", "!!! ??? ...",
+      "Spark WINDOW the Table MERGE join", "a1_b2 c3 d4_e5 f6 g7",
+      "naïve café über — resumé π∑ tokens here",
+      Seq.fill(50)("alpha beta gamma delta").mkString(" "),
+      "the quick brown fox jumps over the lazy dog the quick brown fox")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val old = df.select($"id",
+        TextOps.shingleHashesPoly($"text").as("hs"),
+        TextOps.shingles($"text", 3).as("sh_old"),
+        TextOps.hashedTermFreqsPoly($"text").as("htf"))
+      .select($"id",
+        TextOps.minhashPolyFromHashes($"hs", k = 32).as("sig_old"),
+        $"sh_old",
+        TextOps.simhash31FromHashedTf($"htf").as("simhash_old"))
+      .select($"id", $"sig_old", $"sh_old", $"simhash_old",
+        array((0 until 8).map(b =>
+          TextOps.bandHashPoly($"sig_old", b, 4)): _*).as("bands_old"))
+    val fused = df.select($"id",
+      TextOps.minhashShingleSigPoly($"text", k = 32).as("sig_new"),
+      TextOps.shinglesKernel($"text", 3).as("sh_new"),
+      kernels.simhash31($"text").as("simhash_new"))
+      .select($"id", $"sig_new", $"sh_new", $"simhash_new",
+        TextOps.bandHashesPolyAll($"sig_new", bands = 8, rows = 4).as("bands_new"))
+    val joined = old.join(fused, "id").collect()
+    assert(joined.length == texts.length)
+    joined.foreach { r =>
+      assert(r.getSeq[Long](r.fieldIndex("sig_old")) ==
+        r.getSeq[Long](r.fieldIndex("sig_new")), s"sig mismatch id=${r.getLong(0)}")
+      assert(r.getSeq[String](r.fieldIndex("sh_old")) ==
+        r.getSeq[String](r.fieldIndex("sh_new")), s"shingles mismatch id=${r.getLong(0)}")
+      assert(r.getLong(r.fieldIndex("simhash_old")) ==
+        r.getLong(r.fieldIndex("simhash_new")), s"simhash mismatch id=${r.getLong(0)}")
+      assert(r.getSeq[Long](r.fieldIndex("bands_old")) ==
+        r.getSeq[Long](r.fieldIndex("bands_new")), s"band mismatch id=${r.getLong(0)}")
+    }
+  }
+
   test("minhash/jaccard band joins move bare ids — signatures join back post-dedup") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join, LogicalPlan}
     import spark.implicits._

@@ -54,7 +54,8 @@ class IndexFilterRewriteSpec extends AnyFunSuite {
       // gate off (maxCandidateFrac = 1.0): these cases test the JOIN PATH's
       // semantics for hot and cold patterns alike; the default selectivity
       // gate has its own test below
-      IndexFilterRewrite.register(spark, indexRoot, maxCandidateFrac = 1.0)
+      IndexFilterRewrite.register(spark, indexRoot, maxCandidateFrac = 1.0,
+        minCorpusDocs = 0)
       val df = pred(engine.corpusDf)
       // exactly ONE candidate join: the rule once ping-ponged with
       // predicate pushdown in the fixed-point batch, nesting a fresh semi
@@ -105,7 +106,7 @@ class IndexFilterRewriteSpec extends AnyFunSuite {
 
   test("stand-down: algo override, regex, non-token pattern, unregistered relation") {
     import org.apache.spark.sql.functions.col
-    IndexFilterRewrite.register(spark, indexRoot)
+    IndexFilterRewrite.register(spark, indexRoot, minCorpusDocs = 0)
     try {
       // forced kernel: the --algo contract pins the scan kernel
       assert(!fired(engine.corpusDf.filter(
@@ -131,14 +132,14 @@ class IndexFilterRewriteSpec extends AnyFunSuite {
     // rank-0 term is in nearly every doc, so its candidate set would be the
     // corpus and the semi join a pessimization; planted markers are ~1/97
     // of docs, squarely worth the index path
-    IndexFilterRewrite.register(spark, indexRoot)
+    IndexFilterRewrite.register(spark, indexRoot, minCorpusDocs = 0)
     try {
       val hot = engine.corpusDf.filter(K.krep_contains(col("text"), t(0)))
       assert(!fired(hot), "hot pattern should stand down under the default gate")
       // standing down is a plan choice, never an answer change
       IndexFilterRewrite.deregister(indexRoot)
       val want = engine.corpusDf.filter(K.krep_contains(col("text"), t(0))).count()
-      IndexFilterRewrite.register(spark, indexRoot)
+      IndexFilterRewrite.register(spark, indexRoot, minCorpusDocs = 0)
       assert(hot.count() == want)
       assert(fired(engine.corpusDf.filter(
         K.krep_contains(col("text"), "plantedmarker0"))),
@@ -159,8 +160,28 @@ class IndexFilterRewriteSpec extends AnyFunSuite {
       val wantMixed = engine.corpusDf.filter(
         K.krep_contains(col("text"), t(0)) &&
           K.krep_contains(col("text"), "plantedmarker0")).count()
-      IndexFilterRewrite.register(spark, indexRoot)
+      IndexFilterRewrite.register(spark, indexRoot, minCorpusDocs = 0)
       assert(mixed.count() == wantMixed)
+    } finally IndexFilterRewrite.deregister(indexRoot)
+  }
+
+  test("cost floor: a corpus below minCorpusDocs stands down entirely") {
+    import org.apache.spark.sql.functions.col
+    try {
+      // default floor (100k docs) >> the 1500-doc fixture: registration is
+      // a no-op and the filter keeps the plain scan — same answer
+      IndexFilterRewrite.register(spark, indexRoot)
+      val small = engine.corpusDf.filter(K.krep_contains(col("text"), "plantedmarker0"))
+      assert(!fired(small), "below the floor the rewrite must stand down")
+      IndexFilterRewrite.deregister(indexRoot)
+      val want = engine.corpusDf
+        .filter(K.krep_contains(col("text"), "plantedmarker0")).count()
+      IndexFilterRewrite.register(spark, indexRoot)
+      assert(small.count() == want, "standing down must not change the answer")
+      // floor disabled → fires again (the plan-assert rows register this way)
+      IndexFilterRewrite.register(spark, indexRoot, minCorpusDocs = 0)
+      assert(fired(engine.corpusDf.filter(
+        K.krep_contains(col("text"), "plantedmarker0"))))
     } finally IndexFilterRewrite.deregister(indexRoot)
   }
 
