@@ -36,23 +36,27 @@ final case class StepInfo(
   * Uses the Hadoop FileSystem API throughout, so the same code runs on local
   * fs here and HDFS/S3A on a real cluster.
   *
-  * SCALE LIMIT, stated: each snapshot is ONE JSON document listing every
-  * data file of every table. At 100 TB a postings table is O(10^5-10^6)
-  * files, so the snapshot becomes hundreds of MB that every commit rewrites
-  * and every reader parses — the manifest itself turns into big data. Real
-  * Iceberg shards this (manifest files grouped by a manifest list, commits
-  * rewrite only touched manifests); the upgrade path here is mechanical
-  * because all readers go through `completedSteps`: store per-table file
-  * lists in side files referenced by hash from the snapshot, and only the
-  * touched table's side file is rewritten per commit. Deliberately NOT done
-  * now — at the tested scales the single document is simpler to make
-  * atomic, and the concurrency suite (crash/race/CAS) pins semantics the
-  * sharded layout must preserve.
+  * MANIFEST SHARDING (the Iceberg manifest-list discipline): each step's
+  * file list is stored in a content-addressed side file
+  * (`manifests/manifest-<sha256>.json`), and the snapshot document
+  * references it by hash — so a commit writes only the side files of tables
+  * whose lists actually CHANGED (an unchanged table's hash already exists),
+  * and the snapshot document itself stays O(#tables) regardless of file
+  * count. At 100 TB a postings table is O(10^5-10^6) files; without
+  * sharding every commit rewrote and every reader parsed a hundreds-of-MB
+  * JSON. Readers resolve refs through a process-wide content-addressed
+  * cache (immutable by construction). Old snapshots with inline `files`
+  * arrays remain readable (legacy format). Manifest side files referenced
+  * by NO snapshot (crashed commits) are cleaned by [[expireSnapshots]] only
+  * when an expired snapshot referenced them and no survivor does — an
+  * in-flight commit's freshly written manifest (referenced by nothing yet)
+  * is never touched.
   */
 final class IceTable(val root: String, conf: Configuration) {
 
   private val mapper = new ObjectMapper()
   private def fs: FileSystem = new Path(root).getFileSystem(conf)
+  import IceTable.manifestCache
 
   def tablePath(name: String): String = s"$root/data/$name"
 
@@ -107,17 +111,68 @@ final class IceTable(val root: String, conf: Configuration) {
     val node = try mapper.readTree(in) finally in.close()
     var out = ListMap.empty[String, StepInfo]
     node.get("steps").forEach { s =>
-      val files = Vector.newBuilder[(String, Long)]
-      s.get("files").forEach(f =>
-        files += ((f.get("name").asText(), f.get("rows").asLong())))
       val metrics = ListMap.newBuilder[String, String]
       val it = s.get("metrics").fields()
       while (it.hasNext) { val e = it.next(); metrics += (e.getKey -> e.getValue.asText()) }
       val info = StepInfo(s.get("name").asText(), s.get("table").asText(),
-        s.get("rowCount").asLong(), files.result(), metrics.result())
+        s.get("rowCount").asLong(), stepFiles(s), metrics.result())
       out = out + (info.name -> info)
     }
     out
+  }
+
+  /** File list of one snapshot step node: sharded (`filesRef` → manifest
+    * side file, content-addressed cache) or legacy inline `files`.
+    */
+  private def stepFiles(s: JsonNode): Seq[(String, Long)] = {
+    val inline = s.get("files")
+    if (inline != null) {
+      val files = Vector.newBuilder[(String, Long)]
+      inline.forEach(f =>
+        files += ((f.get("name").asText(), f.get("rows").asLong())))
+      files.result()
+    } else readManifest(s.get("filesRef").asText())
+  }
+
+  private def manifestPath(hash: String): Path =
+    new Path(root, s"manifests/manifest-$hash.json")
+
+  private def readManifest(hash: String): Seq[(String, Long)] =
+    IceTable.manifestCache.computeIfAbsent((root, hash), _ => {
+      val in = fs.open(manifestPath(hash))
+      val node = try mapper.readTree(in) finally in.close()
+      val files = Vector.newBuilder[(String, Long)]
+      node.forEach(f =>
+        files += ((f.get("name").asText(), f.get("rows").asLong())))
+      files.result()
+    })
+
+  /** Serialize a step's file list canonically, content-address it by
+    * SHA-256, and write the manifest side file if this content has never
+    * been written — an UNCHANGED table's list hashes to an existing file,
+    * so a commit writes exactly the manifests of tables it touched. Racing
+    * writers of the same hash write identical bytes, so the loser's failed
+    * rename is ignored.
+    */
+  private def ensureManifest(files: Seq[(String, Long)]): String = {
+    val arr = mapper.createArrayNode()
+    files.foreach { case (f, r) =>
+      val fn = arr.addObject(); fn.put("name", f); fn.put("rows", r)
+    }
+    val bytes = mapper.writeValueAsBytes(arr)
+    val hash = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map(b => f"$b%02x").mkString
+    val p = manifestPath(hash)
+    if (!fs.exists(p)) {
+      fs.mkdirs(p.getParent)
+      val tmp = new Path(p.getParent,
+        p.getName + ".tmp-" + java.util.UUID.randomUUID())
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false) // identical content won
+    }
+    IceTable.manifestCache.putIfAbsent((root, hash), files.toVector)
+    hash
   }
 
   /** Time-travel read: the table exactly as snapshot `id` committed it. */
@@ -209,10 +264,9 @@ final class IceTable(val root: String, conf: Configuration) {
             n.put("name", s.name)
             n.put("table", s.table)
             n.put("rowCount", s.rowCount)
-            val fa = n.putArray("files")
-            s.files.foreach { case (f, r) =>
-              val fn = fa.addObject(); fn.put("name", f); fn.put("rows", r)
-            }
+            // sharded manifests: the snapshot document carries one hash per
+            // table; only changed lists produce new side files
+            n.put("filesRef", ensureManifest(s.files))
             val m = n.putObject("metrics")
             s.metrics.foreach { case (k, v) => m.put(k, v) }
           }
@@ -321,7 +375,7 @@ final class IceTable(val root: String, conf: Configuration) {
           node.get("steps").forEach { s =>
             if (s.get("name").asText() == table) {
               committed = true
-              s.get("files").forEach(f => files += f.get("name").asText())
+              stepFiles(s).foreach { case (name, _) => files += name }
             }
           }
           files.result()
@@ -382,40 +436,88 @@ final class IceTable(val root: String, conf: Configuration) {
     // break completedSteps for every reader that resolves the pointer
     val floor = latestPointer.orElse(logMaxId).getOrElse(Long.MinValue)
     val drop = ids.dropRight(keepLast).filter(_ < floor)
+    if (drop.isEmpty) return Nil
+    // manifest GC, conservative: only side files an EXPIRED snapshot
+    // referenced and no SURVIVOR references may go — a manifest referenced
+    // by nothing (an in-flight commit between manifest write and snapshot
+    // CAS) is never touched
+    def refsOf(id: Long): Set[String] = {
+      val p = new Path(dir, s"snapshot-$id.json")
+      if (!fs.exists(p)) Set.empty
+      else {
+        val in = fs.open(p)
+        val node = try mapper.readTree(in) finally in.close()
+        val refs = Set.newBuilder[String]
+        node.get("steps").forEach { s =>
+          val r = s.get("filesRef")
+          if (r != null) refs += r.asText()
+        }
+        refs.result()
+      }
+    }
+    val droppedRefs = drop.flatMap(refsOf).toSet
     drop.foreach(id => fs.delete(new Path(dir, s"snapshot-$id.json"), false))
+    val survivorRefs = ids.filterNot(drop.contains).flatMap(refsOf).toSet
+    (droppedRefs -- survivorRefs).foreach { h =>
+      fs.delete(manifestPath(h), false)
+      IceTable.manifestCache.remove((root, h))
+    }
     drop
   }
 
   /** Per-file row counts from parquet footers — the per-partition lineage
     * recorded at commit time (derived from the committed artifacts, so it is
-    * correct even across resumed builds).
+    * correct even across resumed builds). Footer opens run on a small
+    * thread pool: every step commit of every build pays this walk, and the
+    * serial version cost ~1 s per build at 32 files/step × 6 steps.
     */
-  def parquetLineage(table: String): Seq[(String, Long)] = {
-    val dir = new Path(tablePath(table))
-    fs.listStatus(dir).toSeq
-      .filter(s => s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-      .map { s =>
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(s.getPath, conf))
-        try (s.getPath.getName, r.getRecordCount)
-        finally r.close()
-      }
-  }
+  def parquetLineage(table: String): Seq[(String, Long)] =
+    footerCounts(new Path(tablePath(table)), name => name)
 
   /** Lineage of the files inside `tablePath(table)/subdir`, names relative to
     * the table path ("subdir/part-*.parquet") — how a streaming batch records
     * exactly the immutable files it just wrote, never the whole directory
     * (which may hold orphans from a crashed earlier attempt).
     */
-  def parquetLineageIn(table: String, subdir: String): Seq[(String, Long)] = {
-    val dir = new Path(tablePath(table), subdir)
-    fs.listStatus(dir).toSeq
+  def parquetLineageIn(table: String, subdir: String): Seq[(String, Long)] =
+    footerCounts(new Path(tablePath(table), subdir), name => s"$subdir/$name")
+
+  private[index] def manifestCount: Int = {
+    val dir = new Path(root, "manifests")
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).count(_.getPath.getName.startsWith("manifest-"))
+  }
+
+  private def footerCounts(dir: Path,
+      rel: String => String): Seq[(String, Long)] = {
+    val files = fs.listStatus(dir).toSeq
       .filter(s => s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
+    if (files.isEmpty) return Nil
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, files.size))
+    try files
       .map { s =>
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(s.getPath, conf))
-        try (s"$subdir/${s.getPath.getName}", r.getRecordCount)
-        finally r.close()
+        pool.submit(new java.util.concurrent.Callable[(String, Long)] {
+          def call(): (String, Long) = {
+            val r = ParquetFileReader.open(
+              HadoopInputFile.fromPath(s.getPath, conf))
+            try (rel(s.getPath.getName), r.getRecordCount)
+            finally r.close()
+          }
+        })
       }
+      .map(_.get())
+    finally pool.shutdown()
   }
+}
+
+object IceTable {
+  /** Process-wide content-addressed manifest cache: manifest side files are
+    * immutable by construction (named by the SHA-256 of their content), so
+    * a hash read once never needs re-reading — across every IceTable
+    * instance of the process (engines construct them freely).
+    */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(String, Long)]]
 }

@@ -151,10 +151,16 @@ final class IndexBuilder(spark: SparkSession, root: String,
 
     step("dict", Map("orderedBy" -> "term")) {
       val tfr = ice.readTable(spark, "tfrows")
+      // persisted because the ranker's range partitioner SAMPLES its input
+      // before shuffling it: without the persist the sample pass re-executes
+      // the whole tfrows scan + aggregation a second time (measured ~40% of
+      // the step at 50k docs)
       val grouped = tfr.groupBy($"term")
         .agg(count("*").as("df"), sum($"tf").as("cf"))
-      write(Ranker.denseIdsByKey(grouped, "term", "termId", cfg.partitions)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try write(Ranker.denseIdsByKey(grouped, "term", "termId", cfg.partitions)
         .select($"termId", $"term", $"df", $"cf"), "dict")
+      finally grouped.unpersist(false)
     }
 
     step("postings", Map(

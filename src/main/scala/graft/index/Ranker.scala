@@ -1,6 +1,8 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -12,6 +14,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * then `zipWithIndex` (one lightweight count job + one map — no global
   * sort point, no driver materialization). Deterministic for a deterministic
   * input.
+  *
+  * The id attach runs on INTERNAL rows (`queryExecution.toRdd` +
+  * UnsafeProjection + [[GraftSqlBridge.internalCreateDataFrame]]): the
+  * previous `.rdd`/`createDataFrame` pair materialized every field of every
+  * row as external Java objects and re-encoded them — for the corpus step
+  * that is the full multi-KB text payload, twice. Now each row is one
+  * UnsafeProjection + buffer copy; the count job zipWithIndex runs reads the
+  * reused rows without copying at all.
   */
 object Ranker {
   def denseIdsByKey(df: DataFrame, key: String, idName: String,
@@ -22,9 +32,15 @@ object Ranker {
       .sortWithinPartitions(key)
     val schema = StructType(sorted.schema.fields :+
       StructField(idName, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, id) =>
-      Row.fromSeq(row.toSeq :+ id)
+    val rdd = sorted.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
+      val proj = UnsafeProjection.create(schema)
+      val joined = new JoinedRow
+      val idRow = new GenericInternalRow(1)
+      it.map { case (row, id) =>
+        idRow.update(0, id)
+        proj(joined(row, idRow)).copy(): InternalRow
+      }
     }
-    spark.createDataFrame(rdd, schema)
+    GraftSqlBridge.internalCreateDataFrame(spark, rdd, schema)
   }
 }

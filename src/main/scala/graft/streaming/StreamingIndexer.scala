@@ -109,17 +109,23 @@ final class StreamingIndexer(spark: SparkSession, root: String,
       .select($"termId", $"term", $"df", $"cf")
     val deltaAgg = tfDeltaC.groupBy($"term")
       .agg(count(lit(1)).as("ddf"), sum($"tf").as("dcf"))
+    // persisted: the known/new split references the full-outer join twice
+    // and the new-term ranker's range partitioner samples it a third time —
+    // without the persist the dict join and delta aggregation execute 3x
     val merged = oldDict.join(deltaAgg, Seq("term"), "full_outer")
-    val known = merged.filter($"termId".isNotNull)
-      .select($"termId", $"term",
-        ($"df" + coalesce($"ddf", lit(0L))).as("df"),
-        ($"cf" + coalesce($"dcf", lit(0L))).as("cf"))
-    val newTerms = Ranker.denseIdsByKey(
-      merged.filter($"termId".isNull).select($"term", $"ddf", $"dcf"),
-      "term", "newRank", cfg.partitions)
-      .select(($"newRank" + lit(maxTermId)).as("termId"), $"term",
-        $"ddf".as("df"), $"dcf".as("cf"))
-    known.unionByName(newTerms).write.parquet(deltaDir("dict"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val known = merged.filter($"termId".isNotNull)
+        .select($"termId", $"term",
+          ($"df" + coalesce($"ddf", lit(0L))).as("df"),
+          ($"cf" + coalesce($"dcf", lit(0L))).as("cf"))
+      val newTerms = Ranker.denseIdsByKey(
+        merged.filter($"termId".isNull).select($"term", $"ddf", $"dcf"),
+        "term", "newRank", cfg.partitions)
+        .select(($"newRank" + lit(maxTermId)).as("termId"), $"term",
+          $"ddf".as("df"), $"dcf".as("cf"))
+      known.unionByName(newTerms).write.parquet(deltaDir("dict"))
+    } finally merged.unpersist(false)
 
     // postings delta: same exchange discipline as the batch build. The dict
     // join is GATED on the merged dict's row count (read from the parquet

@@ -20,6 +20,17 @@ object GraftSqlBridge {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** DataFrame from an RDD of InternalRows without the external-Row
+    * round-trip ([[classic.SparkSession.internalCreateDataFrame]] is
+    * `private[sql]`): Ranker's dense-id assignment hands back UnsafeRows
+    * directly instead of materializing every field (notably multi-KB text
+    * payloads) as Java objects and re-encoding them row by row.
+    */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** What an extensions injector would install at session build — the
     * builder is `private[sql]`, and tests assert the spark-submit wiring
     * without constructing a second SparkSession.

@@ -120,4 +120,44 @@ class IceTableSpec extends AnyFunSuite {
     assert(ice.completedSteps("t").files.map(_._1) == Seq("new.parquet"))
     assert(ice.stepsAt(oldId)("t").files.map(_._1) == Seq("old.parquet"))
   }
+
+  test("sharded manifests: a single-table commit writes exactly one new side file") {
+    val ice = table()
+    // 4-table snapshot: 4 manifests
+    ice.commitSteps((1 to 4).map(i =>
+      StepInfo(s"t$i", s"p$i", i.toLong, Seq((s"f$i.parquet", i.toLong)), Map.empty)))
+    val m0 = ice.manifestCount
+    assert(m0 == 4)
+    // touch ONE table -> exactly one new manifest; the other 3 re-reference
+    ice.commitStep(StepInfo("t2", "p2", 9,
+      Seq(("f2.parquet", 2L), ("f2b.parquet", 7L)), Map.empty))
+    assert(ice.manifestCount == m0 + 1,
+      "an untouched table's manifest must not be rewritten")
+    // commit with an UNCHANGED list -> zero new manifests (content-addressed)
+    ice.commitStep(StepInfo("t3", "p3", 3, Seq(("f3.parquet", 3L)), Map.empty))
+    assert(ice.manifestCount == m0 + 1)
+    // readers resolve refs back to the full lists
+    val steps = ice.completedSteps
+    assert(steps("t2").files == Seq(("f2.parquet", 2L), ("f2b.parquet", 7L)))
+    assert(steps("t1").files == Seq(("f1.parquet", 1L)))
+    // two tables sharing identical file lists share ONE manifest
+    val ice2 = table()
+    ice2.commitSteps(Seq(
+      StepInfo("a", "pa", 1, Seq(("same.parquet", 1L)), Map.empty),
+      StepInfo("b", "pb", 1, Seq(("same.parquet", 1L)), Map.empty)))
+    assert(ice2.manifestCount == 1)
+  }
+
+  test("expireSnapshots garbage-collects manifests only the expired referenced") {
+    val ice = table()
+    ice.commitStep(StepInfo("t", "pt", 1, Seq(("v1.parquet", 1L)), Map.empty))
+    ice.commitStep(StepInfo("t", "pt", 2, Seq(("v2.parquet", 2L)), Map.empty))
+    ice.commitStep(StepInfo("t", "pt", 3, Seq(("v3.parquet", 3L)), Map.empty))
+    assert(ice.manifestCount == 3)
+    ice.expireSnapshots(keepLast = 1)
+    // v1/v2 manifests referenced only by expired snapshots are gone; the
+    // survivor's stays readable
+    assert(ice.manifestCount == 1)
+    assert(ice.completedSteps("t").files == Seq(("v3.parquet", 3L)))
+  }
 }
