@@ -163,6 +163,28 @@ final class IndexBuilder(spark: SparkSession, root: String,
       finally grouped.unpersist(false)
     }
 
+    // beyond the dl-broadcast gate, dl reaches the block encoders through a
+    // per-segment doc-values sidecar (seg-<id>.bin, one dense Int per doc)
+    // written and committed as its own resumable step — so the slim postings
+    // exchange applies at ANY corpus size instead of falling back to
+    // carrying dl through the widest shuffle (the fat exchange the A/B
+    // measured at ~9-11% of build wall)
+    val nDocsForPostings = ice.completedSteps.get("docs").map(_.rowCount)
+    if (nDocsForPostings.exists(_ > cfg.dlBroadcastMaxDocs) &&
+        !done.contains("dlseg") && !done.contains("postings")) {
+      val t0 = System.nanoTime()
+      val files = IndexBuilder.writeDlSidecar(
+        ice.readTable(spark, "docs").select($"docId", $"dl"),
+        ice.tablePath("dlseg"), cfg.docsPerSegment, cfg.partitions)
+      ice.commitStep(StepInfo("dlseg", ice.tablePath("dlseg"),
+        files.map(_._2).sum, files,
+        Map("docsPerSegment" -> cfg.docsPerSegment.toString,
+          "elapsedSec" -> f"${(System.nanoTime() - t0) / 1e9}%.3f")))
+      ran += "dlseg"
+      if (failAfter.contains("dlseg"))
+        throw new RuntimeException("injected failure after step dlseg")
+    }
+
     step("postings", Map(
       "blockSize" -> cfg.blockSize.toString,
       "docsPerSegment" -> cfg.docsPerSegment.toString)) {
@@ -180,32 +202,27 @@ final class IndexBuilder(spark: SparkSession, root: String,
       // needs no sampling pass over the joined input. Blocks never span
       // segments, so per-term blocks stay globally mergeable sorted runs.
       val nDocs = ice.completedSteps("docs").rowCount
+      // the exchange is ALWAYS slim — (termId, docId, posv), the minimum
+      // that determines the blocks; tf re-derives from the posv varint
+      // count, dl from a broadcast dense table below the gate or from the
+      // per-segment sidecar above it
+      val rows = tfr.join(dictJ, "term")
+        .select($"termId", $"docId", $"posv")
+        .as[(Long, Long, Array[Byte])]
+        .repartition(cfg.partitions, $"termId",
+          floor($"docId" / cfg.docsPerSegment))
+        .sortWithinPartitions($"termId", $"docId")
       val blocks = if (nDocs <= cfg.dlBroadcastMaxDocs) {
-        // slim exchange: tf is the posv strip's varint count, dl comes from
-        // a broadcast dense-docId table — the repartition+sort moves only
-        // (termId, docId, posv), the minimum that determines the blocks
         val dlArr = new Array[Int](nDocs.toInt)
         ice.readTable(spark, "docs")
           .select($"docId", $"dl".cast("int")).as[(Long, Int)]
           .collect().foreach { case (d, l) => dlArr(d.toInt) = l }
         val dlt = spark.sparkContext.broadcast(IndexBuilder.DlTable(0L, dlArr))
-        val rows = tfr.join(dictJ, "term")
-          .select($"termId", $"docId", $"posv")
-          .as[(Long, Long, Array[Byte])]
-          .repartition(cfg.partitions, $"termId",
-            floor($"docId" / cfg.docsPerSegment))
-          .sortWithinPartitions($"termId", $"docId")
         IndexBuilder.encodeBlocksSlim(rows, dlt, cfg.blockSize,
           cfg.docsPerSegment)
       } else {
-        val rows = tfr.join(dictJ, "term")
-          .select($"termId", $"docId", $"tf".cast("int"), $"dl".cast("int"),
-            $"posv")
-          .as[(Long, Long, Int, Int, Array[Byte])]
-          .repartition(cfg.partitions, $"termId",
-            floor($"docId" / cfg.docsPerSegment))
-          .sortWithinPartitions($"termId", $"docId")
-        IndexBuilder.encodeBlocks(rows, cfg.blockSize, cfg.docsPerSegment)
+        IndexBuilder.encodeBlocksSlimSidecar(rows, ice.tablePath("dlseg"),
+          cfg.blockSize, cfg.docsPerSegment)
       }
       write(blocks.toDF(), "postings")
     }
@@ -227,9 +244,9 @@ object IndexBuilder {
     * docIds are dense from `base` (0 for the batch build; the committed doc
     * count for a streaming delta), so the table is one Int per doc — 4 MB
     * per million docs. [[IndexConfig.dlBroadcastMaxDocs]] gates the size; a
-    * corpus beyond it falls back to carrying dl through the exchange (at
-    * 10^12 docs the upgrade path is a per-segment doc-values sidecar read by
-    * the encoder's own partition, not a broadcast).
+    * corpus beyond it reads dl from the committed per-segment doc-values
+    * sidecar instead ([[writeDlSidecar]] / [[encodeBlocksSlimSidecar]]), so
+    * the exchange stays slim at any corpus size.
     */
   final case class DlTable(base: Long, dls: Array[Int]) {
     def apply(docId: Long): Int = dls((docId - base).toInt)
@@ -248,6 +265,103 @@ object IndexBuilder {
       : org.apache.spark.sql.Dataset[PosPostingBlock] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions(it => blockIterator(it, blockSize, docsPerSegment))
+  }
+
+  /** Write the per-segment dl sidecar: one `seg-<segId>.bin` per docId
+    * segment, 4-byte big-endian dl values indexed by (docId − seg·dps) —
+    * docIds are dense, so every slot is written. Hash-partitioned by
+    * segment so each task owns whole segments; returns (fileName, docs)
+    * lineage for the step commit. Task retries rewrite the same
+    * deterministic bytes (create-overwrite), so speculative execution is
+    * safe.
+    */
+  def writeDlSidecar(docs: org.apache.spark.sql.DataFrame, dir: String,
+      docsPerSegment: Long, partitions: Int): Seq[(String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.floor
+    docs.select($"docId", $"dl".cast("int"))
+      .repartition(partitions, floor($"docId" / docsPerSegment))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        val bySeg = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.ArrayBuffer[(Int, Int)]]
+        it.foreach { case (docId, dl) =>
+          val seg = docId / docsPerSegment
+          bySeg.getOrElseUpdate(seg,
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            (((docId - seg * docsPerSegment).toInt, dl))
+        }
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        bySeg.iterator.map { case (seg, offs) =>
+          val size = offs.iterator.map(_._1).max + 1
+          val arr = new Array[Int](size)
+          offs.foreach { case (off, dl) => arr(off) = dl }
+          val bytes = java.nio.ByteBuffer.allocate(4 * size)
+          arr.foreach(bytes.putInt)
+          val name = s"seg-$seg.bin"
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(dir, name), true)
+          try out.write(bytes.array()) finally out.close()
+          (name, offs.length.toLong)
+        }
+      }
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  /** Per-task lazy reader of the dl sidecar: caches up to `cacheSegs`
+    * decoded segments (rows within a partition are (termId, docId)-sorted,
+    * so each term's walk revisits the partition's segments in order — a
+    * small cache makes re-reads rare).
+    */
+  final class DlSegReader(dir: String, docsPerSegment: Long,
+      cacheSegs: Int = 8) {
+    private val cache = new java.util.LinkedHashMap[Long, Array[Int]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Array[Int]]): Boolean =
+        size() > cacheSegs
+    }
+    @transient private lazy val fs =
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        new org.apache.hadoop.conf.Configuration())
+    def dl(docId: Long): Int = {
+      val seg = docId / docsPerSegment
+      var arr = cache.get(seg)
+      if (arr == null) {
+        val p = new org.apache.hadoop.fs.Path(dir, s"seg-$seg.bin")
+        val len = fs.getFileStatus(p).getLen.toInt
+        val bytes = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0L, bytes) finally in.close()
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        arr = new Array[Int](len / 4)
+        var i = 0
+        while (i < arr.length) { arr(i) = bb.getInt(); i += 1 }
+        cache.put(seg, arr)
+      }
+      arr((docId - seg * docsPerSegment).toInt)
+    }
+  }
+
+  /** Sidecar twin of [[encodeBlocksSlim]] for corpora past
+    * [[IndexConfig.dlBroadcastMaxDocs]]: dl comes from the committed
+    * per-segment sidecar read by the encoder's own partition — the slim
+    * exchange at any corpus size. Byte-identical blocks to the broadcast
+    * path (SlimExchangeSpec forces both).
+    */
+  def encodeBlocksSlimSidecar(
+      rows: org.apache.spark.sql.Dataset[(Long, Long, Array[Byte])],
+      sidecarDir: String, blockSize: Int, docsPerSegment: Long)
+      : org.apache.spark.sql.Dataset[PosPostingBlock] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      val reader = new DlSegReader(sidecarDir, docsPerSegment)
+      blockIterator(it.map { case (termId, docId, posv) =>
+        (termId, docId, BlockCodec.countVarints(posv), reader.dl(docId), posv)
+      }, blockSize, docsPerSegment)
+    }
   }
 
   /** Slim-exchange twin of [[encodeBlocks]]: rows carry only

@@ -161,6 +161,47 @@ final class IndexCompactor(spark: SparkSession, root: String,
       "selective")
   }
 
+  /** Fold the dictionary's per-append delta files into one sorted base:
+    * (termId, term) groups sum their partial df/cf and the result is
+    * range-partitioned + sorted by term (restoring the `orderedBy term`
+    * row-group pruning property of a fresh build). Readers are
+    * merge-on-read, so folding is a pure re-layout — answers identical
+    * before and after; same loser-aborts optimistic commit as the postings
+    * rewrite.
+    */
+  def compactDictionary(): Long = {
+    import spark.implicits._
+    val snap = ice.completedSteps
+    val rewritten = snap("dict").files.map(_._1).toSet
+    val folded = ice.readSteps(spark, snap, "dict")
+      .groupBy($"termId", $"term")
+      .agg(sum($"df").as("df"), sum($"cf").as("cf"))
+      .repartitionByRange(cfg.partitions, $"term")
+      .sortWithinPartitions($"term")
+      .select($"termId", $"term", $"df", $"cf")
+    val tag = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    folded.write.parquet(s"${ice.tablePath("dict")}/$tag")
+    val newFiles = ice.parquetLineageIn("dict", tag)
+    try ice.commitAtomically { cur =>
+      val curNames = cur("dict").files.map(_._1).toSet
+      if (!rewritten.forall(curNames))
+        throw IndexCompactor.StaleRewrite
+      val kept = cur("dict").files.filterNot { case (n, _) => rewritten(n) }
+      val files = kept ++ newFiles
+      Seq(StepInfo("dict", ice.tablePath("dict"),
+        files.map(_._2).sum, files,
+        Map("version" -> tag, "compacted" -> "dict-fold",
+          "orderedBy" -> "term")))
+    } catch {
+      case IndexCompactor.StaleRewrite =>
+        val fs = new org.apache.hadoop.fs.Path(ice.tablePath("dict"))
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${ice.tablePath("dict")}/$tag"), true)
+        ice.currentSnapshotId.get
+    }
+  }
+
   /** Small-file compaction for a row table (corpus/docs/tfrows): rewrite the
     * committed file set into `numFiles` files, committed as a new version.
     * Content-preserving (no ordering contract on these tables — every reader

@@ -18,6 +18,31 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.index.{BlockDocIds, IceTable, StepInfo}
 import graft.krep.{AsciiFold, KrepContains, KrepParams}
 
+/** Evaluation-transparent marker around a filter conjunct the rewrite has
+  * already served: same value, same nullability, same codegen as its child.
+  * Its only purpose is the rule's fixpoint — predicate pushdown re-exposes
+  * the rewritten `Filter(cond, relation)` shape every optimizer iteration,
+  * and the marker is what stops the rule firing twice on the same conjunct
+  * (see [[IndexFilterRewrite.Rule]]).
+  */
+case class IndexServed(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: org.apache.spark.sql.types.DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(c: Expression): IndexServed =
+    copy(child = c)
+  override def prettyName: String = "index_served"
+}
+
 /** Automatic `krep_contains(text, 'lit')` → inverted-index lookup rewrite —
   * the plan-level analog of the reference's kernel selector: the user writes
   * the filter, the engine picks the physical strategy (krep.c:1771-1870, the
@@ -126,20 +151,32 @@ object IndexFilterRewrite {
     val dictRows = snap("dict").rowCount
     if (dictRows <= dictCacheMax) {
       // ONE collect serves both the hot-term gate and the plan-time termId
-      // resolution
-      val rows = ice.readSteps(spark, snap, "dict")
+      // resolution; per-append dict deltas are merged on the driver (df
+      // sums; one termId per term)
+      val merged = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+      ice.readSteps(spark, snap, "dict")
         .select(col("term"), col("termId"), col("df"))
-        .collect()
+        .collect().foreach { r =>
+          val t = r.getString(0)
+          merged.get(t) match {
+            case Some((id, df)) => merged(t) = (id, df + r.getLong(2))
+            case None => merged(t) = (r.getLong(1), r.getLong(2))
+          }
+        }
       val hot =
         if (maxCandidateFrac >= 1.0) Array.empty[String]
-        else rows.iterator.filter(_.getLong(2) > minDf)
-          .map(_.getString(0)).toArray
+        else merged.iterator.collect {
+          case (t, (_, df)) if df > minDf => t
+        }.toArray
+      val terms = merged.toArray
       entries.put(root, Entry(root, snap, files, nDocs, hot,
-        rows.map(_.getString(0)), rows.map(_.getLong(1))))
+        terms.map(_._1), terms.map(_._2._1)))
     } else {
       val hot =
         if (maxCandidateFrac >= 1.0) Array.empty[String]
         else ice.readSteps(spark, snap, "dict")
+          .groupBy(col("term"))
+          .agg(org.apache.spark.sql.functions.sum(col("df")).as("df"))
           .filter(col("df") > minDf)
           .orderBy(col("df").desc, col("term"))
           .limit(hotTermCap)
@@ -171,9 +208,7 @@ object IndexFilterRewrite {
     new String(p.getBytes(StandardCharsets.UTF_8).map(AsciiFold.fold),
       StandardCharsets.UTF_8)
 
-  /** Name of the candidate plan's output attribute — doubles as the
-    * served-marker the rule greps for before firing (see apply).
-    */
+  /** Name of the candidate plan's output attribute. */
   private val CandAttr = "__graft_cand_docid"
 
   object Rule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
@@ -181,28 +216,27 @@ object IndexFilterRewrite {
 
     override def apply(plan: LogicalPlan): LogicalPlan = {
       if (entries.isEmpty) return plan
-      // Served-marker guard, and the rule's REAL fixpoint: the leafRelation
-      // stand-down alone is not enough, because this rule runs in a
-      // fixed-point batch WITH PushDownPredicate — the emitted
-      // Filter(cond, Join) gets its predicate pushed back under the semi
-      // join, re-exposing Filter(krep_contains, relation) to the next
-      // iteration, which would splice a second identical candidate join
-      // under the first (observed: optimizer-iteration-many nested semi
-      // joins, correct answers, ~100x the index work). One candidate join
-      // per query is the intended plan, so once any __graft_cand_docid
-      // semi join exists the rule is done with this tree.
-      val alreadyServed = plan.exists {
-        case j: Join if j.joinType == LeftSemi &&
-            j.right.output.exists(_.name == CandAttr) => true
-        case _ => false
-      }
-      if (alreadyServed) return plan
       plan.transformUp {
         case f @ Filter(cond, child) =>
           rewrite(f, cond, child).getOrElse(f)
       }
     }
 
+    /** The rule's fixpoint is the PER-CONJUNCT [[IndexServed]] marker: this
+      * rule runs in a fixed-point batch WITH PushDownPredicate — the
+      * emitted Filter(cond, Join) gets its predicate pushed back under the
+      * semi join, re-exposing Filter(krep_contains, relation) to the next
+      * iteration, which would splice a second identical candidate join
+      * under the first (observed in round 5: optimizer-iteration-many
+      * nested semi joins, correct answers, ~100x the index work). A served
+      * conjunct is wrapped in the evaluation-transparent marker, which
+      * [[qualifying]] no longer matches, so each qualifying conjunct fires
+      * AT MOST ONCE — and unlike round 5's plan-global attribute-name grep,
+      * a SECOND indexed filter elsewhere in the tree (another conjunct,
+      * another corpus read) still takes the index path with exactly one
+      * candidate join of its own, and a user column that happens to be
+      * named `__graft_cand_docid` cannot suppress the rewrite.
+      */
     private def rewrite(f: Filter, cond: Expression,
         child: LogicalPlan): Option[Filter] =
       for {
@@ -216,14 +250,29 @@ object IndexFilterRewrite {
         // selective conjunct of the same filter still prunes for the whole
         // conjunction (semi-join candidates are a superset of ITS matches,
         // hence of the AND's)
-        folded <- splitConjunctivePredicates(cond)
-          .flatMap(qualifying(_, child))
-          .map(_.map(foldAscii).distinct)
-          .find(fs => !entry.hotTerms.exists(t => fs.exists(t.contains(_))))
+        conjuncts = splitConjunctivePredicates(cond)
+        served = conjuncts.flatMap { c =>
+          qualifying(c, child)
+            .map(_.map(foldAscii).distinct)
+            .filter(fs => !entry.hotTerms.exists(t => fs.exists(t.contains(_))))
+            .map(fs => (c, fs))
+        }
+        if served.nonEmpty
       } yield {
-        val cand = candidatePlan(SparkSession.active, entry, folded)
-        Filter(cond, Join(child, cand, LeftSemi,
-          Some(EqualTo(docId, cand.output.head)), JoinHint.NONE))
+        // EVERY qualifying conjunct is served in this one firing — each
+        // gets its own candidate semi join (each prunes independently; the
+        // intersection of candidate sets is a superset of the AND's
+        // matches), and each is marked so no conjunct ever fires twice
+        val chosen = served.map(_._1).toSet
+        val joined = served.foldLeft(child) { case (acc, (_, folded)) =>
+          val cand = candidatePlan(SparkSession.active, entry, folded)
+          Join(acc, cand, LeftSemi,
+            Some(EqualTo(docId, cand.output.head)), JoinHint.NONE)
+        }
+        val marked = conjuncts
+          .map(c => if (chosen(c)) IndexServed(c) else c)
+          .reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
+        Filter(marked, joined)
       }
 
     /** The filter's input must be the registered corpus relation itself (or
@@ -309,10 +358,14 @@ object IndexFilterRewrite {
           postings.filter(col("termId").isin(
             matchedIds.map(java.lang.Long.valueOf).toSeq: _*))
         else {
+          // distinct: per-append dict deltas repeat (termId, term) pairs,
+          // and a duplicated build side would duplicate joined blocks
+          // (the trailing docId distinct would still dedupe — this keeps
+          // the join's work proportional to matching terms)
           val dict = ice.readSteps(spark, e.snapshot, "dict")
             .filter(graft.krep.functions.krep_contains(col("term"),
               KrepParams(folded)))
-            .select(col("termId"))
+            .select(col("termId")).distinct()
           postings.join(dict, "termId")
         }
       val docIds = GraftSqlBridge.column(BlockDocIds(

@@ -148,12 +148,29 @@ final class QueryEngine(spark: SparkSession, val root: String,
   @transient private lazy val segmentPool: java.util.concurrent.ExecutorService =
     QueryEngine.segmentPool(math.max(2, spark.sparkContext.defaultParallelism))
 
+  /** Merge (term, termId, df) rows into term → (termId, dfTotal): the dict
+    * is base + per-append DELTA files (partial df per file, one termId per
+    * term), so totals resolve by summation — Lucene's per-segment
+    * dictionary read, done on the driver for collected row sets.
+    */
+  private def mergeDictRows(
+      rows: Array[org.apache.spark.sql.Row]): Map[String, (Long, Long)] = {
+    val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    rows.foreach { r =>
+      val t = r.getString(0)
+      m.get(t) match {
+        case Some((id, df)) => m(t) = (id, df + r.getLong(2))
+        case None => m(t) = (r.getLong(1), r.getLong(2))
+      }
+    }
+    m.toMap
+  }
+
   private def ensureDictCache(): Map[String, (Long, Long)] = {
     if (dictCache == null) synchronized {
       if (dictCache == null) {
-        dictCache = readPinned("dict")
-          .select($"term", $"termId", $"df").collect()
-          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        dictCache = mergeDictRows(readPinned("dict")
+          .select($"term", $"termId", $"df").collect())
       }
     }
     dictCache
@@ -165,11 +182,10 @@ final class QueryEngine(spark: SparkSession, val root: String,
       if (dictRowCount <= dictCacheThreshold) {
         ensureDictCache().get
       } else {
-        val rows = readPinned("dict")
+        mergeDictRows(readPinned("dict")
           .filter($"term".isin(terms.toSeq: _*))
           .select($"term", $"termId", $"df")
-          .collect()
-        rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap.get
+          .collect()).get
       }
     terms.zipWithIndex.flatMap { case (t, i) =>
       byTerm(t).map { case (id, df) =>
@@ -227,10 +243,11 @@ final class QueryEngine(spark: SparkSession, val root: String,
       } else {
         // the df-descending cap is applied INSIDE the scan (TakeOrdered):
         // a short pattern over a 10^9-term dict must not collect every
-        // matching term to the driver
+        // matching term to the driver. Per-append dict deltas are summed
+        // BEFORE the cap so a term split across deltas ranks by its total.
         readPinned("dict")
           .filter(graft.krep.functions.krep_contains($"term", params))
-          .select($"term", $"df")
+          .groupBy($"term").agg(org.apache.spark.sql.functions.sum($"df").as("df"))
           .orderBy($"df".desc, $"term")
           .limit(maxExpand)
           .as[(String, Long)].collect()

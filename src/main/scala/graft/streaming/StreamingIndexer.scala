@@ -23,13 +23,13 @@ import graft.krep.{functions => K}
   * Each micro-batch commits one atomic snapshot; a crash between batches
   * resumes from the checkpoint + last snapshot (both idempotent).
   *
-  * Scale note: dict and stats are the only tables REWRITTEN per batch (as
-  * new immutable versions). That cost is O(vocabulary), which grows
-  * sublinearly (Heaps' law) in corpus size — at 10^12 docs the dict is
-  * ~10^8-10^9 rows vs ~10^14 postings, so a per-batch dict rewrite stays a
-  * ~1/10^5 fraction of total data. If batches ever become vocabulary-bound,
-  * the upgrade path is per-batch dict DELTAS merged on read (Lucene-style
-  * per-segment dictionaries), at the price of a more complex lookup.
+  * Scale note: stats is the only table REWRITTEN per batch (one row). The
+  * dictionary commits per-batch DELTAS merged on read (Lucene-style
+  * per-segment dictionaries): each append writes O(batch vocabulary) dict
+  * rows carrying PARTIAL df/cf summed at read time, with committed termIds
+  * reused and new terms extending the id watermark —
+  * [[graft.index.IndexCompactor.compactDictionary]] folds the deltas back
+  * into one sorted base.
   */
 final class StreamingIndexer(spark: SparkSession, root: String,
     cfg: IndexConfig = IndexConfig()) {
@@ -102,45 +102,50 @@ final class StreamingIndexer(spark: SparkSession, root: String,
     val tfDeltaC = spark.read.parquet(deltaDir("tfrows"))
 
     crash("dict")
-    // dict: merge delta df/cf into committed entries; brand-new terms extend
-    // the dense termId range. The merged dict is a NEW version directory —
-    // the committed one stays untouched for old-snapshot readers.
-    val oldDict = ice.readTable(spark, "dict")
-      .select($"termId", $"term", $"df", $"cf")
+    // dict DELTA (Lucene-style per-segment dictionary): the batch writes
+    // ONLY its own vocabulary — (termId, term, df, cf) rows whose df/cf are
+    // this batch's PARTIAL counts, resolved by summation at read time
+    // (IndexDict.merge* / the aggregated scan paths). Known terms reuse
+    // their committed termId via a join against the DISTINCT committed
+    // (termId, term) pairs; brand-new terms extend the id watermark. An
+    // append therefore writes O(batch vocabulary) dict bytes, not O(dict) —
+    // the round-5 per-batch full-dict rewrite is gone. termIds may grow
+    // with gaps (the watermark is the committed row count, an upper bound);
+    // ids stay unique, which is all any reader assumes.
+    val oldTerms = ice.readTable(spark, "dict")
+      .select($"termId", $"term").distinct()
     val deltaAgg = tfDeltaC.groupBy($"term")
       .agg(count(lit(1)).as("ddf"), sum($"tf").as("dcf"))
-    // persisted: the known/new split references the full-outer join twice
-    // and the new-term ranker's range partitioner samples it a third time —
-    // without the persist the dict join and delta aggregation execute 3x
-    val merged = oldDict.join(deltaAgg, Seq("term"), "full_outer")
+    // persisted: the known/new split references the join twice and the
+    // new-term ranker's range partitioner samples it a third time
+    val withIds = deltaAgg.join(oldTerms, Seq("term"), "left_outer")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val known = merged.filter($"termId".isNotNull)
-        .select($"termId", $"term",
-          ($"df" + coalesce($"ddf", lit(0L))).as("df"),
-          ($"cf" + coalesce($"dcf", lit(0L))).as("cf"))
+      val known = withIds.filter($"termId".isNotNull)
+        .select($"termId", $"term", $"ddf".as("df"), $"dcf".as("cf"))
       val newTerms = Ranker.denseIdsByKey(
-        merged.filter($"termId".isNull).select($"term", $"ddf", $"dcf"),
+        withIds.filter($"termId".isNull).select($"term", $"ddf", $"dcf"),
         "term", "newRank", cfg.partitions)
         .select(($"newRank" + lit(maxTermId)).as("termId"), $"term",
           $"ddf".as("df"), $"dcf".as("cf"))
       known.unionByName(newTerms).write.parquet(deltaDir("dict"))
-    } finally merged.unpersist(false)
+    } finally withIds.unpersist(false)
 
     // postings delta: same exchange discipline as the batch build. The dict
-    // join is GATED on the merged dict's row count (read from the parquet
-    // footers just written — zero extra jobs) exactly like
-    // IndexBuilder's dictBroadcastThreshold: a 10^8-row dict must never be
-    // broadcast by an appender. And the exchange is the SLIM one whenever
-    // the BATCH fits the dl table (batch docIds are dense from baseN, so
+    // join reads the batch's own DELTA dictionary (exactly this batch's
+    // vocabulary, termIds included) and is GATED on its row count (read
+    // from the parquet footers just written — zero extra jobs) exactly like
+    // IndexBuilder's dictBroadcastThreshold: a vocabulary-heavy batch is
+    // never broadcast. And the exchange is the SLIM one whenever the BATCH
+    // fits the dl table (batch docIds are dense from baseN, so
     // DlTable(baseN, dls) is one Int per batch doc): tf re-derives from the
     // posv varint count, dl from the broadcast table — two fewer slots per
     // (doc, term) row through the append's widest shuffle, byte-identical
     // blocks (SlimExchangeSpec pins the streaming path too).
-    val mergedDictRows = ice.parquetLineageIn("dict", tag).map(_._2).sum
+    val deltaDictRows = ice.parquetLineageIn("dict", tag).map(_._2).sum
     val dictDf = spark.read.parquet(deltaDir("dict")).select($"termId", $"term")
     val dictJ =
-      if (mergedDictRows <= cfg.dictBroadcastThreshold) broadcast(dictDf)
+      if (deltaDictRows <= cfg.dictBroadcastThreshold) broadcast(dictDf)
       else dictDf
     val batchDocs = ice.parquetLineageIn("docs", tag).map(_._2).sum
     val blocks = if (batchDocs <= cfg.dlBroadcastMaxDocs) {
@@ -192,7 +197,7 @@ final class StreamingIndexer(spark: SparkSession, root: String,
           Map("version" -> tag))
       }
       Seq(appended("corpus"), appended("docs"), appended("tfrows"),
-        versioned("dict"), appended("postings"), versioned("stats"))
+        appended("dict"), appended("postings"), versioned("stats"))
     }
   }
 

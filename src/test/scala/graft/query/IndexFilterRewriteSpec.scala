@@ -165,6 +165,25 @@ class IndexFilterRewriteSpec extends AnyFunSuite {
     } finally IndexFilterRewrite.deregister(indexRoot)
   }
 
+  test("two indexed conjuncts are BOTH served, one candidate join each") {
+    import org.apache.spark.sql.functions.col
+    IndexFilterRewrite.deregister(indexRoot)
+    def pred(df: DataFrame) = df.filter(
+      K.krep_contains(col("text"), "plantedmarker0") &&
+        K.krep_contains(col("text"), "graftphrase0"))
+    val want = pred(engine.corpusDf).select("docId")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(want.nonEmpty) // markers are planted together — real rows at stake
+    try {
+      IndexFilterRewrite.register(spark, indexRoot, minCorpusDocs = 0)
+      val df = pred(engine.corpusDf)
+      assert(semiJoins(df) == 2,
+        "each qualifying conjunct gets exactly one candidate join")
+      val got = df.select("docId").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want)
+    } finally IndexFilterRewrite.deregister(indexRoot)
+  }
+
   test("cost floor: a corpus below minCorpusDocs stands down entirely") {
     import org.apache.spark.sql.functions.col
     try {

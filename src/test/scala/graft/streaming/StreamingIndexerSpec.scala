@@ -52,6 +52,44 @@ class StreamingIndexerSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("dict deltas: appends commit O(batch-vocab) rows, fold restores one base") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dictdelta-").toString
+    val indexer = new StreamingIndexer(spark, root, cfg)
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi, 1, 2).map(i => SynthWebText.page(i))
+    indexer.appendBatch(batch(0L, 300L))
+    val ice = indexer.ice
+    val files1 = ice.completedSteps("dict").files
+    indexer.appendBatch(batch(300L, 600L))
+    val files2 = ice.completedSteps("dict").files
+    // APPEND, not rewrite: every first-append dict file is still listed
+    assert(files1.forall(files2.contains),
+      "append must not rewrite committed dict files")
+    // the delta carries the second batch's vocabulary only — strictly less
+    // than the merged dictionary it used to rewrite
+    val batch2Vocab = batch(300L, 600L)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.krep.functions.krep_tokenize($"text"))).distinct().count()
+    val deltaRows = files2.filterNot(files1.toSet).map(_._2).sum
+    val totalRows = files2.map(_._2).sum
+    assert(deltaRows == batch2Vocab,
+      s"delta rows $deltaRows != batch vocabulary $batch2Vocab")
+    assert(deltaRows < totalRows)
+    // answers before/after folding the deltas are identical, and the fold
+    // leaves exactly one dict version with one row per term
+    val q = s"${t(0)} ${t(3)}"
+    val before = resultsByUrl(root, q, 10)
+    new graft.index.IndexCompactor(spark, root, cfg).compactDictionary()
+    val foldedStep = ice.completedSteps("dict")
+    val distinctTerms = ice.readTable(spark, "dict")
+      .select("term").distinct().count()
+    assert(foldedStep.rowCount == distinctTerms,
+      "fold must leave one row per term")
+    assert(resultsByUrl(root, q, 10) == before,
+      "dictionary folding must be answer-invisible")
+  }
+
   test("crashed appends are invisible to readers; retry converges without duplicates") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-crash-").toString
