@@ -103,8 +103,12 @@ for f in "$WORK"/inputs/*.txt; do
     # line:match pairs, sorted (the reference prints match order; our
     # extract sorts by offset — compare as sorted multisets)
     # shellcheck disable=SC2086
+    # LC_ALL=C: the Scala side sorts by UTF-16 code units; a non-C locale
+    # collates "line:match" strings differently and fabricates O-MISMATCHes.
+    # cut -f2-: a match containing ':' must survive intact (awk '$2":"$3'
+    # truncated it at the next colon).
     (set -f; "$K" --color=never $oflags "$f" 2>/dev/null \
-      | awk -F: '{print $2":"$3}' | sort) > "$WORK/omatch/${id}__${base}"
+      | cut -d: -f2- | LC_ALL=C sort) > "$WORK/omatch/${id}__${base}"
   done
 done
 echo "reference_diff: expected counts at $EXPECTED ($(wc -l < "$EXPECTED") rows)"

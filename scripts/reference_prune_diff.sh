@@ -26,10 +26,15 @@ def put(rel, content="some text with e\n"):
     p = os.path.join(t, rel)
     os.makedirs(os.path.dirname(p), exist_ok=True)
     with open(p, "w") as f: f.write(content)
-# root .gitignore: star, negation, dir-only, '?', char class, bare name
-put(".gitignore", "*.out\n!keep.out\nout/\nsec?.txt\n[ab]*.md\ndeep\n")
+# root .gitignore: star, negation, dir-only, '?', char class, bare name —
+# plus slash-containing patterns, which the reference fnmatches against the
+# BASENAME and therefore never match ('/rooted.txt' and 'pair/inner.txt'
+# must all be KEPT; real git would anchor them — the reference is the spec)
+put(".gitignore", "*.out\n!keep.out\nout/\nsec?.txt\n[ab]*.md\ndeep\n/rooted.txt\npair/inner.txt\n")
 # kept at root
 put("main.c"); put("notes.txt"); put("keep.out"); put("gamma.md"); put("secXY.txt")
+# slash-pattern targets: every one is kept by the reference's basename fnmatch
+put("rooted.txt"); put("pair/inner.txt"); put("pair/rooted.txt")
 # gitignored at root
 put("a.out"); put("sec1.txt"); put("alpha.md"); put("beta.md")
 # dir-only pattern + bare-name dir pattern prune subtrees

@@ -33,12 +33,26 @@ object IndexMaintain {
       rest.sliding(2).collectFirst { case Array(`flag`, v) => v }
     val blockSize = flagArg("--blockSize").map(_.toInt).getOrElse(128)
 
+    // conflicting compaction modes are a usage error, not a silent pick
+    require(!(rest.contains("--compact") &&
+        flagArg("--compact-selective").nonEmpty),
+      "pass either --compact or --compact-selective, not both")
+
     val spark = withDefaultMaster(SparkSession.builder()
       .appName("graft-index-maintain"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ice = new IceTable(root, spark.sparkContext.hadoopConfiguration)
     val cfg = IndexConfig(blockSize = blockSize)
+
+    // an uninitialized root must fail with a usage-level message, not a
+    // bare NoSuchElementException out of the step map
+    if (ice.currentSnapshotId.isEmpty || !ice.completedSteps.contains("postings")) {
+      System.err.println(
+        s"[maintain] no committed index found under $root — nothing to maintain")
+      spark.stop()
+      sys.exit(2)
+    }
 
     if (rest.contains("--compact")) {
       val before = ice.completedSteps("postings").rowCount

@@ -161,8 +161,20 @@ final class KrepMatcher(val params: KrepParams) extends Serializable {
             map(str.length) = bi
             map
           }
+        // Valid-UTF-8 precondition, enforced defensively: a UTF8String
+        // holding INVALID UTF-8 (possible via binary casts) has its broken
+        // sequences replaced by U+FFFD in toString, so the byte walk above
+        // no longer reproduces the raw buffer (map(len) != numBytes) and
+        // exact reference raw-byte offsets are unrecoverable post-
+        // substitution. Offsets are then clamped into the raw byte range so
+        // downstream slicing (positions/extract) stays in bounds instead of
+        // reading past the buffer.
+        val clampMax =
+          if (u16ToByte != null && u16ToByte(str.length) != s.numBytes)
+            s.numBytes
+          else Int.MaxValue
         @inline def toByteOff(i: Int): Int =
-          if (u16ToByte == null) i else u16ToByte(i)
+          if (u16ToByte == null) i else math.min(u16ToByte(i), clampMax)
         // The reference loop (krep.c:1427-1560) never starts a search window
         // at the very end of the text (`while (rem > 0 ...)`), so a match at
         // position len is counted ONLY when an earlier window's first match

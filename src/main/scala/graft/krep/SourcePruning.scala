@@ -119,8 +119,14 @@ object SourcePruning {
     Pattern.compile(sb.append("$").toString)
   }
 
-  /** Parse .gitignore lines (krep.c:3180-3240): trim, skip blank/#,
-    * `!` negation, trailing `/` dir-only, leading `/` stripped.
+  /** Parse .gitignore lines (krep.c gitignore_add_pattern): trim, skip
+    * blank/#, `!` negation, trailing `/` dir-only, leading `/` stripped
+    * ("anchored to directory root" in the reference — which then matches
+    * the stripped pattern against EVERY basename, so '/x' behaves exactly
+    * like 'x', NOT like git's anchor). A pattern with an INTERNAL slash
+    * ('foo/bar') is kept verbatim and can never match a basename. Both
+    * semantics are pinned against the compiled reference binary by
+    * scripts/reference_prune_diff.sh's slash-pattern cases.
     */
   def parseGitignore(lines: Seq[String]): Seq[GitIgnorePattern] =
     lines.flatMap { raw =>

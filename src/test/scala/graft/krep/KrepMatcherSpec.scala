@@ -312,4 +312,27 @@ class KrepMatcherSpec extends AnyFunSuite {
     // matches on 3 of 4 lines
     assert(cl("hit\nmiss\nhit hit\nhit", Seq("hit")) == 3)
   }
+
+  test("invalid UTF-8 input (binary cast): regex offsets stay in byte bounds") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // 0xFF is never valid in UTF-8; toString substitutes U+FFFD (3 UTF-8
+    // bytes), so the UTF-16->byte walk no longer reproduces the raw buffer.
+    // The matcher must not emit offsets past the raw byte length (the
+    // valid-UTF-8 precondition is enforced defensively by clamping).
+    val bytes = Array[Byte]('a', 'b', 0xFF.toByte, 'c', 'd', 0xFF.toByte)
+    val s = UTF8String.fromBytes(bytes)
+    val m = new KrepMatcher(KrepParams(Seq("[a-d]+"), regex = true,
+      overlapping = false))
+    var maxEnd = -1
+    m.foreachMatch(s) { (st, en, _) =>
+      assert(st >= 0 && en >= st)
+      if (en > maxEnd) maxEnd = en
+      true
+    }
+    assert(maxEnd <= s.numBytes,
+      s"offset $maxEnd past raw byte length ${s.numBytes}")
+    // count/contains paths must not throw either
+    assert(m.count(s) >= 1)
+    assert(m.contains(s))
+  }
 }

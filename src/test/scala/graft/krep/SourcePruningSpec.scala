@@ -59,6 +59,19 @@ class SourcePruningSpec extends AnyFunSuite {
       ("spaced.txt", false, false)))
   }
 
+  test("gitignore slash semantics: leading '/' strips (matches everywhere), internal '/' never matches") {
+    // reference-pinned (krep.c gitignore_add_pattern + basename fnmatch,
+    // differential: scripts/reference_prune_diff.sh slash cases): '/x' is
+    // stripped to 'x' and ignores that basename at EVERY depth (unlike
+    // git's root anchor); 'foo/bar' stays verbatim and can never match a
+    // basename
+    val pats = parseGitignore(Seq("/rooted.txt", "pair/inner.txt"))
+    def ign(n: String, d: Boolean = false) = isIgnored(Seq(pats), n, d)
+    assert(ign("rooted.txt"))
+    assert(!ign("inner.txt"))
+    assert(!ign("pair"))
+  }
+
   test("gitignore match: last match wins, dir-only gating, fnmatch classes") {
     val pats = parseGitignore(Seq("*.log", "!keep*.log", "tmp?", "[abc]*.dat"))
     def ign(n: String, d: Boolean = false) = isIgnored(Seq(pats), n, d)
