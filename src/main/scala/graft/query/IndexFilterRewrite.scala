@@ -97,7 +97,10 @@ object IndexFilterRewrite {
       // to queries): candidate termIds then resolve at PLAN time on the
       // driver — no dict-scan job, no dict join in the candidate plan
       dictTerms: Array[String],
-      dictTermIds: Array[Long])
+      dictTermIds: Array[Long],
+      // the gate parameters this entry was built with — a re-register with
+      // different knobs must rebuild, not silently keep the old gates
+      params: (Double, Int, Long))
 
   /** Registered corpora, keyed by index root. */
   private val entries = new ConcurrentHashMap[String, Entry]
@@ -140,11 +143,13 @@ object IndexFilterRewrite {
     val snap = ice.completedSteps
     val nDocs = snap("docs").rowCount
     if (nDocs < minCorpusDocs) { entries.remove(root); return }
-    // re-registering an unchanged snapshot is a no-op: the dict collect
-    // below is a Spark job, and callers re-register per query defensively
+    // re-registering an unchanged snapshot with unchanged gate knobs is a
+    // no-op: the dict collect below is a Spark job, and callers re-register
+    // per query defensively
     val prev = entries.get(root)
     if (prev != null && prev.snapshot.get("dict") == snap.get("dict") &&
-        prev.snapshot.get("corpus") == snap.get("corpus")) return
+        prev.snapshot.get("corpus") == snap.get("corpus") &&
+        prev.params == ((maxCandidateFrac, hotTermCap, dictCacheMax))) return
     val cs = snap("corpus")
     val files = cs.files.map { case (f, _) => normalize(s"${cs.table}/$f") }.toSet
     val minDf = math.max(1L, (nDocs * maxCandidateFrac).toLong)
@@ -170,7 +175,8 @@ object IndexFilterRewrite {
         }.toArray
       val terms = merged.toArray
       entries.put(root, Entry(root, snap, files, nDocs, hot,
-        terms.map(_._1), terms.map(_._2._1)))
+        terms.map(_._1), terms.map(_._2._1),
+        (maxCandidateFrac, hotTermCap, dictCacheMax)))
     } else {
       val hot =
         if (maxCandidateFrac >= 1.0) Array.empty[String]
@@ -181,7 +187,8 @@ object IndexFilterRewrite {
           .orderBy(col("df").desc, col("term"))
           .limit(hotTermCap)
           .select("term").collect().map(_.getString(0))
-      entries.put(root, Entry(root, snap, files, nDocs, hot, null, null))
+      entries.put(root, Entry(root, snap, files, nDocs, hot, null, null,
+        (maxCandidateFrac, hotTermCap, dictCacheMax)))
     }
   }
 
